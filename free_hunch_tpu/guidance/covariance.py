@@ -1,0 +1,160 @@
+"""Online denoiser-covariance estimation (the Free Hunch core) on TPU.
+
+Parity: ``conditioning_utils/online_update_bfgs.py`` (CovarianceHessianBFGS
+:7-337, CovarianceHessianBFGSDCT :339-374, dense reference math
+``update_covariance:377`` / ``update_bfgs:414``).
+
+Design notes (TPU-first):
+
+* The state is ONE fixed-shape ``LowRank`` pytree: the denoiser covariance
+  Sigma_0 in the chosen orthogonal basis. The reference maintains eight
+  mutually-redundant objects (cov/inv/hessian/inv-hessian, each diag+U+V, plus
+  CUDA mirrors); under the Gaussian-family consistency
+  ``H = (Sigma_0 - sigma^2 I) / sigma^4`` all of them are *derivable* from
+  Sigma_0 and sigma, and the derivations are two k x k Woodbury solves plus
+  (d, K) matmuls — noise on the MXU next to a 0.25-TFLOP UNet forward. We
+  verified the consistency is preserved by both update rules (see
+  tests/test_covariance.py which checks against the reference's dense math).
+* Time update ("sigma changed"): Sigma^-1 shifts by (1/s'^2 - 1/s^2) I; the
+  transported score is H' H^-1 score and the transported denoiser mean is
+  x + s'^2 score' (reference :153-192).
+* Space update ("x changed", BFGS): appends the rank-2 update
+  ``- (Sv)(Sv)^T / (dx^T S dx) + gamma de de^T`` as two columns with signed
+  inner weights — no complex sqrt needed (reference :247-312).
+* Everything is per-sample and pure; batching is ``jax.vmap`` over a leading
+  axis (the reference asserts batch_size==1, :161,:255).
+
+All functions operate on *flattened* (d,) vectors in the transform basis.
+The basis itself (identity / DCT) is applied by the conditioning mechanism.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from free_hunch_tpu.ops import lowrank
+from free_hunch_tpu.ops.lowrank import LowRank
+
+
+class CovParams(NamedTuple):
+    """Static hyper-parameters of the covariance model."""
+    project_to_diagonal: bool = False
+
+
+def init_state(init_denoiser_variance: jnp.ndarray, data_dim: int, capacity: int,
+               dtype=None) -> LowRank:
+    """Fresh covariance state: Sigma_0 = diag(init_denoiser_variance).
+
+    ``init_denoiser_variance`` is a scalar (identity basis) or a (d,) vector
+    (DCT basis loaded from dct_variance); reference :12-37. The state dtype
+    follows the input unless ``dtype`` is given explicitly.
+    """
+    v = jnp.asarray(init_denoiser_variance)
+    if dtype is None:
+        dtype = v.dtype if jnp.issubdtype(v.dtype, jnp.floating) else jnp.float32
+    diag = jnp.broadcast_to(v.astype(dtype), (data_dim,)).copy()
+    return lowrank.init(diag, capacity)
+
+
+def hessian(cov: LowRank, sigma) -> LowRank:
+    """H = (Sigma_0 - sigma^2 I) / sigma^4 (reference :29,:294)."""
+    return lowrank.affine(cov, 1.0 / sigma**4, -1.0 / sigma**2)
+
+
+def cov_matvec(cov: LowRank, v: jnp.ndarray) -> jnp.ndarray:
+    """Sigma_0 @ v (reference ``denoiser_cov_vector_dot`` :194-204)."""
+    return lowrank.matvec(cov, v)
+
+
+def inv_cov_matvec(cov: LowRank, v: jnp.ndarray) -> jnp.ndarray:
+    return lowrank.matvec(lowrank.inverse(cov), v)
+
+
+def hessian_matvec(cov: LowRank, sigma, v: jnp.ndarray) -> jnp.ndarray:
+    return lowrank.matvec(hessian(cov, sigma), v)
+
+
+def inv_hessian_matvec(cov: LowRank, sigma, v: jnp.ndarray) -> jnp.ndarray:
+    return lowrank.matvec(lowrank.inverse(hessian(cov, sigma)), v)
+
+
+def time_update(cov: LowRank, sigma, sigma_next) -> LowRank:
+    """Move Sigma_0 from noise level sigma to sigma_next.
+
+    Sigma^-1(s') = Sigma^-1(s) + (s'^-2 - s^-2) I  (reference :166-168).
+    """
+    inv = lowrank.inverse(cov)
+    inv = lowrank.shift_diag(inv, 1.0 / sigma_next**2 - 1.0 / sigma**2)
+    return lowrank.inverse(inv)
+
+
+def transport_score(cov: LowRank, cov_next: LowRank, sigma, sigma_next,
+                    x: jnp.ndarray, score: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Analytic transport of (denoiser mean, score) to the new noise level.
+
+    score' = H(s') H(s)^-1 score;  mean' = x + s'^2 score'
+    (reference :170-181). ``cov``/``cov_next`` are the states before/after
+    ``time_update``; H(s') is derived from cov_next via the family consistency.
+    """
+    hi = lowrank.inverse(hessian(cov, sigma))
+    h2 = hessian(cov_next, sigma_next)
+    score_next = lowrank.matvec(h2, lowrank.matvec(hi, score))
+    mean_next = x + sigma_next**2 * score_next
+    return mean_next, score_next
+
+
+def space_update(cov: LowRank, sigma, x: jnp.ndarray, x_next: jnp.ndarray,
+                 mean_at_x: jnp.ndarray, mean_at_x_next: jnp.ndarray,
+                 params: CovParams = CovParams()) -> LowRank:
+    """BFGS rank-2 update of Sigma_0 after observing the denoiser at two points
+    with the same sigma (reference :250-312).
+
+    Sigma <- Sigma - (S dx)(S dx)^T / (dx^T S dx) + de de^T / (dx^T de),
+    with de = sigma^2 (D(x') - D(x)), dx = x' - x.
+    """
+    dtype = x.dtype
+    dx = x_next - x
+    de = sigma**2 * (mean_at_x_next - mean_at_x)
+    sv = lowrank.matvec(cov, dx)
+    tiny = jnp.finfo(dtype).tiny
+    dxsv = jnp.sum(dx * sv)
+    dxde = jnp.sum(dx * de)
+    c_neg = -1.0 / jnp.where(jnp.abs(dxsv) > tiny, dxsv, jnp.inf)
+    gamma = 1.0 / jnp.where(jnp.abs(dxde) > tiny, dxde, jnp.inf)
+    if params.project_to_diagonal:
+        # Reference :274-277: fold the rank-2 update into the diagonal.
+        new_diag = cov.diag + gamma * de * de + c_neg * sv * sv
+        return cov._replace(diag=new_diag)
+    return lowrank.append_pair(cov, sv, c_neg, de, gamma)
+
+
+# ---------------------------------------------------------------------------
+# Dense reference implementations (used by the equivalence tests; mirrors the
+# semantics of the reference's update_covariance:377 / update_bfgs:414).
+# ---------------------------------------------------------------------------
+
+def dense_time_update(cov, inv_cov, hess, inv_hess, score, x, sigma, sigma_next):
+    d = cov.shape[-1]
+    eye = jnp.eye(d, dtype=cov.dtype)
+    new_inv_cov = inv_cov + (sigma_next**-2 - sigma**-2) * eye
+    new_cov = jnp.linalg.inv(new_inv_cov)
+    new_inv_hess = inv_hess - (sigma_next**2 - sigma**2) * eye
+    new_hess = jnp.linalg.inv(new_inv_hess)
+    new_score = new_hess @ (inv_hess @ score)
+    new_mean = x + sigma_next**2 * new_score
+    return new_cov, new_inv_cov, new_hess, new_inv_hess, new_score, new_mean
+
+
+def dense_space_update(cov, inv_cov, sigma, x, dx, mean_at_x, mean_at_x_next):
+    d = cov.shape[-1]
+    eye = jnp.eye(d, dtype=cov.dtype)
+    de = sigma**2 * (mean_at_x_next - mean_at_x)
+    gamma = 1.0 / (dx @ de)
+    new_cov = (cov - jnp.outer(cov @ dx, dx @ cov) / (dx @ cov @ dx)
+               + jnp.outer(de, de) * gamma)
+    new_inv_cov = ((eye - jnp.outer(dx, de) * gamma) @ inv_cov
+                   @ (eye - jnp.outer(de, dx) * gamma) + jnp.outer(dx, dx) * gamma)
+    new_hess = (new_cov / sigma**2 - eye) / sigma**2
+    new_inv_hess = jnp.linalg.inv(new_hess + 1e-10 * eye)
+    return new_cov, new_inv_cov, new_hess, new_inv_hess

@@ -1,0 +1,108 @@
+"""Batched preconditioned conjugate gradients as a masked ``lax.while_loop``.
+
+Parity: reference ``conditioning_utils/cg.py`` (``cg_batch:5``, ``cg:118``,
+autograd ``CG:294``). TPU redesign:
+
+* one ``while_loop`` drives the whole batch; converged samples are frozen with
+  ``where`` masks instead of exiting (data-dependent exit per sample is not
+  expressible under jit, and freezing costs nothing on the VPU),
+* the matvec is a user closure over arbitrarily-shaped states — internally
+  everything is flattened to (batch, n),
+* ``cg_solve`` wraps the loop in ``lax.custom_linear_solve`` so the solve
+  differentiates implicitly (CG is its own adjoint for symmetric A), replacing
+  the reference's ``torch.autograd.Function``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class CGInfo(NamedTuple):
+    niter: jnp.ndarray          # () int32 — iterations actually run
+    residual_norm: jnp.ndarray  # (batch,) final ||Ax - b||
+    optimal: jnp.ndarray        # (batch,) bool — converged within maxiter
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
+             precond: Optional[Callable] = None, rtol=1e-3, atol=0.0,
+             maxiter: int = 1000):
+    """Solve A x = b per batch row with CG.
+
+    matvec: (batch, n) -> (batch, n), must apply a symmetric PSD A per row.
+    rtol/atol: scalars or (batch,) arrays; row i stops when
+      ||r_i|| <= max(rtol_i * ||b_i||, atol_i).
+    Returns (x, CGInfo).
+    """
+    dtype = b.dtype
+    batch = b.shape[0]
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if precond is None:
+        precond = lambda v: v
+    rtol = jnp.broadcast_to(jnp.asarray(rtol, dtype), (batch,))
+    atol = jnp.broadcast_to(jnp.asarray(atol, dtype), (batch,))
+
+    b_norm = jnp.sqrt(_dot(b, b))
+    stop = jnp.maximum(rtol * b_norm, atol)
+
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = _dot(r0, z0)
+
+    def cond(state):
+        x, r, p, rz, i, active = state
+        return jnp.logical_and(i < maxiter, jnp.any(active))
+
+    def body(state):
+        x, r, p, rz, i, active = state
+        ap = matvec(p)
+        pap = _dot(p, ap)
+        alpha = jnp.where(pap > 0, rz / jnp.maximum(pap, jnp.finfo(dtype).tiny), 0.0)
+        m = active[:, None].astype(dtype)
+        x = x + m * alpha[:, None] * p
+        r = r - m * alpha[:, None] * ap
+        z = precond(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / jnp.maximum(rz, jnp.finfo(dtype).tiny)
+        p = jnp.where(active[:, None], z + beta[:, None] * p, p)
+        res = jnp.sqrt(_dot(r, r))
+        active = jnp.logical_and(active, res > stop)
+        return x, r, p, rz_new, i + 1, active
+
+    active0 = jnp.sqrt(_dot(r0, r0)) > stop
+    x, r, p, rz, niter, active = lax.while_loop(
+        cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), active0))
+    res = jnp.sqrt(_dot(r, r))
+    return x, CGInfo(niter=niter, residual_norm=res, optimal=jnp.logical_not(active))
+
+
+def cg(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
+       precond: Optional[Callable] = None, rtol=1e-3, atol=0.0, maxiter: int = 1000):
+    """Single-system CG on an arbitrarily-shaped b; matvec keeps b's shape."""
+    shape = b.shape
+    flat_mv = lambda v: matvec(v.reshape((1,) + shape)[0]).reshape(1, -1)
+    x, info = cg_batch(flat_mv, b.reshape(1, -1), x0=None if x0 is None else x0.reshape(1, -1),
+                       precond=None if precond is None else
+                       (lambda v: precond(v.reshape((1,) + shape)[0]).reshape(1, -1)),
+                       rtol=rtol, atol=atol, maxiter=maxiter)
+    return x.reshape(shape), info
+
+
+def cg_solve(matvec: Callable, b: jnp.ndarray, rtol=1e-5, maxiter: int = 1000) -> jnp.ndarray:
+    """Differentiable symmetric solve: gradients flow via a transposed CG solve
+    (``lax.custom_linear_solve(symmetric=True)``)."""
+    def solve(mv, rhs):
+        x, _ = cg(mv, rhs, rtol=rtol, maxiter=maxiter)
+        return x
+
+    return lax.custom_linear_solve(matvec, b, solve=solve, symmetric=True)

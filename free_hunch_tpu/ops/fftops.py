@@ -1,0 +1,72 @@
+"""FFT-diagonalised convolution helpers for the measurement operators.
+
+Parity: reference ``measurement_utils/utils_sisr.py`` (``p2o:22``,
+``pre_calculate:79``, ``upsample:44``, ``downsample:55``, ``splits:9``,
+``data_solution:65``). All functions are jittable; FFTs run as XLA complex64
+ops on TPU. Arrays are NCHW to match the operator math of the reference.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def p2o(psf: jnp.ndarray, shape) -> jnp.ndarray:
+    """Point-spread function -> optical transfer function.
+
+    Zero-pads the (..., h, w) PSF to ``shape``, rolls it so the kernel center
+    sits at the origin, and FFTs. Matches ``utils_sisr.p2o``.
+    """
+    h, w = psf.shape[-2], psf.shape[-1]
+    otf = jnp.zeros(psf.shape[:-2] + tuple(shape), dtype=psf.dtype)
+    otf = otf.at[..., :h, :w].set(psf)
+    otf = jnp.roll(otf, (-(h // 2), -(w // 2)), axis=(-2, -1))
+    return jnp.fft.fftn(otf, axes=(-2, -1))
+
+
+def upsample(x: jnp.ndarray, sf: int = 3) -> jnp.ndarray:
+    """s-fold zero-filling upsampler (adjoint of ``downsample``)."""
+    if sf == 1:
+        return x
+    z = jnp.zeros(x.shape[:-2] + (x.shape[-2] * sf, x.shape[-1] * sf), dtype=x.dtype)
+    return z.at[..., ::sf, ::sf].set(x)
+
+
+def downsample(x: jnp.ndarray, sf: int = 3) -> jnp.ndarray:
+    """s-fold stride sampler keeping the upper-left pixel of each sf x sf patch."""
+    if sf == 1:
+        return x
+    return x[..., ::sf, ::sf]
+
+
+def splits(a: jnp.ndarray, sf: int) -> jnp.ndarray:
+    """Split (..., W, H) into sf*sf distinct blocks stacked on a new last axis.
+
+    Returns (..., W/sf, H/sf, sf^2), matching ``utils_sisr.splits`` (chunk on
+    rows first, then columns).
+    """
+    *lead, w, h = a.shape
+    b = a.reshape(*lead, sf, w // sf, h)
+    b = jnp.moveaxis(b, -3, -1)  # (..., W/sf, H, sf)
+    b = b.reshape(*lead, w // sf, sf, h // sf, b.shape[-1])
+    b = jnp.moveaxis(b, -3, -1)  # (..., W/sf, H/sf, sf, sf)
+    return b.reshape(*lead, w // sf, h // sf, sf * sf)
+
+
+def pre_calculate(x: jnp.ndarray, k: jnp.ndarray, sf: int):
+    """Precompute the FFT tuple (FB, FBC, F2B, FBFy) reused across iterations.
+
+    x: (N, C, H, W) low-resolution input, k: (N, C, h, w) kernel.
+    Matches ``utils_sisr.pre_calculate``.
+    """
+    w, h = x.shape[-2], x.shape[-1]
+    FB = p2o(k.astype(jnp.complex64), (w * sf, h * sf))
+    FBC = jnp.conj(FB)
+    F2B = jnp.abs(FB) ** 2
+    STy = upsample(x, sf=sf)
+    FBFy = FBC * jnp.fft.fftn(STy.astype(jnp.complex64), axes=(-2, -1))
+    return FB, FBC, F2B, FBFy
+
+
+def fft_conv(x: jnp.ndarray, FB: jnp.ndarray) -> jnp.ndarray:
+    """Circular convolution via the precomputed OTF: real(ifft2(FB * fft2(x)))."""
+    return jnp.fft.ifft2(FB * jnp.fft.fft2(x.astype(jnp.complex64))).real.astype(x.dtype)

@@ -1,0 +1,171 @@
+"""Equivalence of the factored covariance updates vs dense reference math.
+
+Mirrors the semantics of the reference's ``conditioning_utils/
+online_update_tests.py`` (time update, time+rank structure, sequential BFGS,
+interleaved schedule) with hard tolerances, against the dense update rules of
+``online_update_bfgs.py:377-463``.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from free_hunch_tpu.guidance import covariance as C
+from free_hunch_tpu.ops import lowrank
+
+D = 12
+K = 32
+
+
+def _dense_init(var, nv, d):
+    cov = np.eye(d) * var
+    inv_cov = np.linalg.inv(cov)
+    hess = (cov / nv - np.eye(d)) / nv
+    inv_hess = np.linalg.inv(hess)
+    return cov, inv_cov, hess, inv_hess
+
+
+def test_time_update_matches_dense():
+    var, sigma = 1.0, 2.0
+    state = C.init_state(jnp.asarray(var, jnp.float64), D, K)
+    cov, inv_cov, hess, inv_hess = _dense_init(var, sigma**2, D)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=D))
+    score = jnp.asarray(rng.normal(size=D))
+
+    sigma_next = 1.3
+    new_state = C.time_update(state, sigma, sigma_next)
+    mean2, score2 = C.transport_score(state, new_state, sigma, sigma_next, x, score)
+
+    dcov, dinv, dhess, dinvh, dscore, dmean = C.dense_time_update(
+        jnp.asarray(cov), jnp.asarray(inv_cov), jnp.asarray(hess), jnp.asarray(inv_hess),
+        score, x, sigma, sigma_next)
+
+    np.testing.assert_allclose(lowrank.dense(new_state), dcov, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(score2, dscore, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(mean2, dmean, rtol=1e-9, atol=1e-11)
+    # derived hessian / inverses consistent with the dense chain
+    np.testing.assert_allclose(lowrank.dense(C.hessian(new_state, sigma_next)),
+                               dhess, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        lowrank.dense(lowrank.inverse(C.hessian(new_state, sigma_next))),
+        dinvh, rtol=1e-7, atol=1e-9)
+
+
+def test_space_update_matches_dense():
+    var, sigma = 0.8, 1.7
+    state = C.init_state(jnp.asarray(var, jnp.float64), D, K)
+    cov, inv_cov, _, _ = _dense_init(var, sigma**2, D)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=D))
+    dx = jnp.asarray(rng.normal(size=D) * 0.1)
+    mean_x = jnp.asarray(rng.normal(size=D))
+    # keep dx^T de positive-ish as in real trajectories
+    mean_xn = mean_x + 0.3 * dx + 0.02 * jnp.asarray(rng.normal(size=D))
+
+    new_state = C.space_update(state, sigma, x, x + dx, mean_x, mean_xn)
+    dcov, dinv, dhess, _ = C.dense_space_update(
+        jnp.asarray(cov), jnp.asarray(inv_cov), sigma, x, dx, mean_x, mean_xn)
+
+    np.testing.assert_allclose(lowrank.dense(new_state), dcov, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(lowrank.dense(lowrank.inverse(new_state)), dinv,
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(lowrank.dense(C.hessian(new_state, sigma)), dhess,
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_interleaved_schedule_matches_dense():
+    """25 interleaved time+space rounds (reference online_update_tests.py:274)."""
+    var = 1.0
+    sigmas = np.geomspace(10.0, 0.5, 26)
+    # 25 space updates append 50 columns; use a capacity that holds them all
+    # so no eviction happens and the dense chain is followed exactly.
+    state = C.init_state(jnp.asarray(var, jnp.float64), D, 64)
+    cov, inv_cov, hess, inv_hess = _dense_init(var, sigmas[0]**2, D)
+    cov, inv_cov, hess, inv_hess = map(jnp.asarray, (cov, inv_cov, hess, inv_hess))
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=D))
+    score = jnp.asarray(rng.normal(size=D))
+
+    for i in range(25):
+        s, sn = sigmas[i], sigmas[i + 1]
+        new_state = C.time_update(state, s, sn)
+        mean2, score2 = C.transport_score(state, new_state, s, sn, x, score)
+        cov, inv_cov, hess, inv_hess, dscore, dmean = C.dense_time_update(
+            cov, inv_cov, hess, inv_hess, score, x, s, sn)
+        np.testing.assert_allclose(score2, dscore, rtol=1e-6, atol=1e-8)
+        state, score = new_state, score2
+
+        dx = jnp.asarray(rng.normal(size=D) * 0.05)
+        mean_x = mean2
+        mean_xn = mean_x + 0.2 * dx + 0.01 * jnp.asarray(rng.normal(size=D))
+        state = C.space_update(state, sn, x, x + dx, mean_x, mean_xn)
+        cov, inv_cov, hess, inv_hess = C.dense_space_update(
+            cov, inv_cov, sn, x, dx, mean_x, mean_xn)
+        np.testing.assert_allclose(lowrank.dense(state), cov, rtol=1e-5, atol=1e-7)
+        x = x + dx
+        score = jnp.asarray(rng.normal(size=D))  # fresh score, as from a new net eval
+
+    # inverses stay consistent at the end of the schedule
+    np.testing.assert_allclose(lowrank.dense(lowrank.inverse(state)),
+                               np.linalg.inv(np.asarray(cov)), rtol=1e-4, atol=1e-6)
+
+
+def test_project_to_diagonal():
+    var, sigma = 1.0, 2.0
+    state = C.init_state(jnp.asarray(var, jnp.float64), D, K)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=D))
+    dx = jnp.asarray(rng.normal(size=D) * 0.1)
+    mean_x = jnp.asarray(rng.normal(size=D))
+    mean_xn = mean_x + 0.3 * dx
+    out = C.space_update(state, sigma, x, x + dx, mean_x, mean_xn,
+                         C.CovParams(project_to_diagonal=True))
+    assert int(out.k) == 0
+    de = sigma**2 * (mean_xn - mean_x)
+    sv = var * dx
+    expect = (np.full(D, var) + np.asarray(de) ** 2 / float(dx @ de)
+              - np.asarray(sv) ** 2 / float(dx @ sv))
+    np.testing.assert_allclose(out.diag, expect, rtol=1e-9)
+
+
+def test_float32_precision_is_adequate():
+    """The production dtype is f32: run the interleaved schedule in f32 and
+    check the covariance stays within solver-relevant accuracy of the f64
+    dense oracle (the CG solve only needs a few digits)."""
+    var = 1.0
+    sigmas = np.geomspace(8.0, 1.0, 13)
+    state = C.init_state(jnp.asarray(var, jnp.float32), D, K)
+    cov = jnp.asarray(np.eye(D) * var)
+    inv_cov = jnp.linalg.inv(cov)
+
+    rng = np.random.default_rng(4)
+    x64 = jnp.asarray(rng.normal(size=D))
+    for i in range(12):
+        s, sn = float(sigmas[i]), float(sigmas[i + 1])
+        state = C.time_update(state, s, sn)
+        eye = jnp.eye(D)
+        inv_cov = inv_cov + (sn**-2 - s**-2) * eye
+        cov = jnp.linalg.inv(inv_cov)
+
+        dx = jnp.asarray(rng.normal(size=D) * 0.05)
+        mean_x = jnp.asarray(rng.normal(size=D))
+        mean_xn = mean_x + 0.2 * dx + 0.01 * jnp.asarray(rng.normal(size=D))
+        state = C.space_update(state, sn, x64.astype(jnp.float32), (x64 + dx).astype(jnp.float32),
+                               mean_x.astype(jnp.float32), mean_xn.astype(jnp.float32))
+        cov, inv_cov, _, _ = C.dense_space_update(cov, inv_cov, sn, x64, dx, mean_x, mean_xn)
+        x64 = x64 + dx
+
+    got = np.asarray(lowrank.dense(state), np.float64)
+    ref = np.asarray(cov)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-4, f"f32 covariance drifted: rel err {rel:.2e}"
+
+
+def test_batched_updates_vmap():
+    state = jax.vmap(lambda _: C.init_state(jnp.asarray(1.0, jnp.float32), D, K))(
+        jnp.arange(3))
+    out = jax.jit(jax.vmap(lambda st: C.time_update(st, 2.0, 1.5)))(state)
+    assert out.U.shape == (3, D, K)

@@ -1,0 +1,114 @@
+"""DCT, FFT-operator helpers, and CG solver tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.fft
+
+import free_hunch_tpu.ops.cg as cg_mod
+from free_hunch_tpu.ops import dct as dct_mod
+from free_hunch_tpu.ops import fftops
+
+
+def test_dct2d_matches_scipy():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 16, 16))
+    got = dct_mod.dct_2d(jnp.asarray(x))
+    want = scipy.fft.dctn(x, axes=(-2, -1), norm="ortho")
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    back = dct_mod.idct_2d(got)
+    np.testing.assert_allclose(back, x, rtol=1e-10, atol=1e-12)
+
+
+def test_dct_is_orthonormal():
+    c = np.asarray(dct_mod.dct_matrix(32, jnp.float64))
+    np.testing.assert_allclose(c @ c.T, np.eye(32), atol=1e-12)
+
+
+def test_p2o_and_fft_conv_match_circular_convolution():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 1, 16, 16))
+    k = np.zeros((1, 1, 5, 5))
+    k[0, 0] = rng.normal(size=(5, 5))
+    FB = fftops.p2o(jnp.asarray(k, jnp.complex64), (16, 16))
+    y = fftops.fft_conv(jnp.asarray(x, jnp.float32), FB)
+    # oracle: scipy circular convolution with centered kernel
+    from scipy import ndimage
+    want = ndimage.convolve(x[0, 0], k[0, 0], mode="wrap")
+    np.testing.assert_allclose(np.asarray(y)[0, 0], want, rtol=1e-4, atol=1e-5)
+
+
+def test_up_down_sample_adjoint():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 3, 8, 8)))
+    y = jnp.asarray(rng.normal(size=(1, 3, 16, 16)))
+    # <up(x), y> == <x, down(y)>
+    lhs = jnp.sum(fftops.upsample(x, 2) * y)
+    rhs = jnp.sum(x * fftops.downsample(y, 2))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_splits_blocks():
+    x = jnp.arange(16.0).reshape(1, 1, 4, 4)
+    b = fftops.splits(x, 2)
+    assert b.shape == (1, 1, 2, 2, 4)
+    # block 0 must be the top-left strided samples of chunking semantics
+    np.testing.assert_allclose(np.asarray(b).sum(), np.asarray(x).sum())
+
+
+def test_cg_batch_solves_spd_systems():
+    rng = np.random.default_rng(3)
+    n, batch = 24, 3
+    A = rng.normal(size=(batch, n, n))
+    A = A @ np.transpose(A, (0, 2, 1)) + n * np.eye(n)
+    b = rng.normal(size=(batch, n))
+    Aj = jnp.asarray(A)
+    mv = lambda v: jnp.einsum("bij,bj->bi", Aj, v)
+    x, info = cg_mod.cg_batch(mv, jnp.asarray(b), rtol=1e-10, maxiter=200)
+    want = np.linalg.solve(A, b[..., None])[..., 0]
+    np.testing.assert_allclose(x, want, rtol=1e-6, atol=1e-8)
+    assert bool(info.optimal.all())
+
+
+def test_cg_respects_per_sample_rtol():
+    rng = np.random.default_rng(4)
+    n = 16
+    A = rng.normal(size=(2, n, n))
+    A = A @ np.transpose(A, (0, 2, 1)) + n * np.eye(n)
+    b = rng.normal(size=(2, n))
+    Aj = jnp.asarray(A)
+    mv = lambda v: jnp.einsum("bij,bj->bi", Aj, v)
+    rtol = jnp.asarray([1e-1, 1e-12])
+    x, info = cg_mod.cg_batch(mv, jnp.asarray(b), rtol=rtol, maxiter=500)
+    res = np.linalg.norm(np.einsum("bij,bj->bi", A, np.asarray(x)) - b, axis=-1)
+    bn = np.linalg.norm(b, axis=-1)
+    assert res[0] <= 1e-1 * bn[0]
+    assert res[1] <= 1e-10 * bn[1]
+
+
+def test_cg_shaped_wrapper_and_jit():
+    rng = np.random.default_rng(5)
+    x_true = rng.normal(size=(2, 3, 4))
+    mask = (rng.uniform(size=(2, 3, 4)) > 0.3).astype(np.float64)
+    mv = lambda v: mask * v + 0.1 * v  # SPD diagonal operator on shaped input
+    b = np.asarray(mv(jnp.asarray(x_true)))
+    f = jax.jit(lambda bb: cg_mod.cg(mv, bb, rtol=1e-12, maxiter=100)[0])
+    x = f(jnp.asarray(b))
+    np.testing.assert_allclose(x, x_true, rtol=1e-8)
+
+
+def test_cg_solve_differentiable():
+    rng = np.random.default_rng(6)
+    n = 8
+    A = rng.normal(size=(n, n))
+    A = A @ A.T + n * np.eye(n)
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.normal(size=n))
+
+    def loss(bb):
+        x = cg_mod.cg_solve(lambda v: Aj @ v, bb, rtol=1e-12, maxiter=200)
+        return jnp.sum(x**2)
+
+    g = jax.grad(loss)(b)
+    x = np.linalg.solve(A, np.asarray(b))
+    want = 2 * np.linalg.solve(A, x)  # d/db ||A^-1 b||^2 = 2 A^-T A^-1 b
+    np.testing.assert_allclose(g, want, rtol=1e-6, atol=1e-9)
