@@ -1,0 +1,97 @@
+"""Bicubic (and friends) separable resize as dense matmuls.
+
+Parity: reference ``measurement_utils/resizer.py`` (ResizeRight-style
+Matlab-convention resize: antialiased stretched kernel on downscale,
+center-preserving coordinate map, reflection padding, weight normalisation).
+
+TPU redesign: instead of gather(field_of_view) * weights, the per-dimension
+contribution weights are scattered once (at setup, in numpy) into a dense
+(out_len, in_len) matrix R, and resizing is ``R_h @ x @ R_w^T`` — two
+MXU-native matmuls per image that XLA fuses with surrounding ops. The matrices
+agree with the reference's gather formulation exactly (same kernels, same
+mirror padding; verified in tests/test_operators.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cubic(x):
+    ax = np.abs(x)
+    ax2, ax3 = ax**2, ax**3
+    return ((1.5 * ax3 - 2.5 * ax2 + 1) * (ax <= 1)
+            + (-0.5 * ax3 + 2.5 * ax2 - 4 * ax + 2) * ((ax > 1) & (ax <= 2)))
+
+
+def _linear(x):
+    return (x + 1) * ((x >= -1) & (x < 0)) + (1 - x) * ((x >= 0) & (x <= 1))
+
+
+def _box(x):
+    return ((x >= -0.5) & (x < 0.5)) * 1.0
+
+
+def _lanczos(n):
+    def k(x):
+        eps = np.finfo(np.float32).eps
+        return (((np.sin(np.pi * x) * np.sin(np.pi * x / n) + eps)
+                 / ((np.pi**2 * x**2 / n) + eps)) * (np.abs(x) < n))
+    return k
+
+
+_KERNELS = {"cubic": (_cubic, 4.0), "linear": (_linear, 2.0), "box": (_box, 1.0),
+            "lanczos2": (_lanczos(2), 4.0), "lanczos3": (_lanczos(3), 6.0)}
+
+
+@functools.lru_cache(maxsize=None)
+def resize_matrix(in_length: int, out_length: int, scale: float,
+                  kernel: str = "cubic", antialiasing: bool = True) -> np.ndarray:
+    """Dense (out_length, in_length) resize matrix for one dimension.
+
+    Matlab/imresize conventions: pixel p sits at coordinate p - 0.5; the
+    output coordinate maps to input via d_new = d_old / scale with a center
+    shift when out_length != in_length * scale; antialiasing stretches the
+    kernel by 1/scale on downscale; out-of-range taps reflect at borders;
+    weights are normalised per output pixel.
+    """
+    kern, width = _KERNELS[kernel]
+    aa = antialiasing and scale < 1
+    fixed = (lambda a: scale * kern(scale * a)) if aa else kern
+    kw = width / scale if aa else width
+
+    out_coord = np.arange(1, out_length + 1, dtype=np.float64)
+    shifted = out_coord - (out_length - in_length * scale) / 2
+    match = shifted / scale + 0.5 * (1 - 1 / scale)
+    left = np.floor(match - kw / 2)
+    taps = int(np.ceil(kw)) + 2
+    fov = (left[:, None] + np.arange(taps)[None, :] - 1).astype(np.int64)
+    w = fixed(match[:, None] - fov - 1)
+    s = w.sum(axis=1)
+    s[s == 0] = 1.0
+    w = w / s[:, None]
+    # reflection padding via the mirror trick
+    mirror = np.concatenate([np.arange(in_length), np.arange(in_length - 1, -1, -1)])
+    fov = mirror[np.mod(fov, mirror.shape[0])]
+    R = np.zeros((out_length, in_length), np.float64)
+    np.add.at(R, (np.repeat(np.arange(out_length), taps), fov.ravel()), w.ravel())
+    return R
+
+
+def build_resizer(in_hw, scale_factor: float, kernel: str = "cubic",
+                  antialiasing: bool = True, dtype=jnp.float32) -> Callable:
+    """Return f(x) resizing the last two axes of x by ``scale_factor``."""
+    h, w = in_hw
+    oh, ow = int(np.ceil(h * scale_factor)), int(np.ceil(w * scale_factor))
+    Rh = jnp.asarray(resize_matrix(h, oh, float(scale_factor), kernel, antialiasing), dtype)
+    Rw = jnp.asarray(resize_matrix(w, ow, float(scale_factor), kernel, antialiasing), dtype)
+
+    def apply(x: jnp.ndarray) -> jnp.ndarray:
+        y = jnp.einsum("oh,...hw->...ow", Rh, x.astype(dtype))
+        return jnp.einsum("...ow,pw->...op", y, Rw)
+
+    apply.matrices = (Rh, Rw)
+    return apply
