@@ -1,2 +1,4 @@
-# Conditioning mechanisms are imported lazily to keep the core (covariance,
-# solvers) importable on their own.
+from free_hunch_tpu.guidance.mechanisms import (  # noqa: F401
+    choose_conditioning_mechanism, FreeHunch, DPS, PiGDM, TMPD,
+    PengConvert, PengAnalytic, DiffPIR, PiGDMVideodiffSchedule,
+)

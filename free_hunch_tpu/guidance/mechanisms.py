@@ -1,0 +1,419 @@
+"""Conditioning mechanisms: x0_mean <- x0_mean + sigma^2 * grad log p(y | x_t).
+
+Parity: reference ``conditioning_utils/conditioning_mechanisms.py`` — the
+factory ``choose_conditioning_mechanism:16`` and the eight mechanisms
+DPS:52, PengConvert:65, PengAnalytic:87, TMPD:112, PiGDM:134,
+PiGDM_Videodiff_schedule:154, DiffPIR:173, BFGSOnlineUpdate:190 (the paper's
+``online_covariance``).
+
+TPU redesign:
+
+* every mechanism is a pure function of (denoise_fn, x_t, y, sigma, state):
+  jittable, vmappable, usable inside a ``lax.scan`` sampler step. The
+  reference's Python history lists (``self.sigmas/xs/denoiser_means``,
+  :216-292) become an explicit fixed-shape ``FreeHunchState`` carry,
+* guidance gradients are ``jax.vjp`` pullbacks through the denoiser — one
+  forward + one cotangent application (the reference re-runs autograd.grad),
+* all data-dependent branching (sigma changed? x changed? sigma below the
+  analytic-variance threshold?) is ``lax.cond``/``where`` — static config
+  flags branch in Python at trace time,
+* everything carries a leading batch axis; the covariance state batches via
+  ``vmap`` (the reference asserts batch size 1).
+
+The denoiser covariance model operates in an orthogonal basis: identity
+('identity') or 2-D DCT with the dataset variance prior ('dct_diagonal' /
+'dct_diagonal_noinfo'), reference ``online_update_bfgs.py:339-374``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from free_hunch_tpu.guidance import covariance as cov_mod
+from free_hunch_tpu.guidance.solvers import choose_solver
+from free_hunch_tpu.operators import assets
+from free_hunch_tpu.ops.dct import dct_2d, idct_2d
+from free_hunch_tpu.ops.lowrank import LowRank
+
+
+def choose_conditioning_mechanism(name: str):
+    table = {
+        "dps": DPS,
+        "pigdm": PiGDM,
+        "pigdm_videodiff_schedule": PiGDMVideodiffSchedule,
+        "online_covariance": FreeHunch,
+        "peng_convert": PengConvert,
+        "peng_analytic": PengAnalytic,
+        "tmpd": TMPD,
+        "diffpir": DiffPIR,
+    }
+    if name == "ddnm":
+        raise ValueError("ddnm runs through the dedicated DDNM+ sampler "
+                         "(free_hunch_tpu.samplers.ddnm), not a conditioning mechanism")
+    if name not in table:
+        raise ValueError(f"Unknown conditioning mechanism: {name}")
+    return table[name]
+
+
+class EmptyState(NamedTuple):
+    """Carry for stateless mechanisms."""
+    step: jnp.ndarray  # () int32
+
+
+@dataclasses.dataclass(frozen=True)
+class ConditioningMechanism:
+    """Base: clips the updated x0_mean to [-1, 1] when configured
+    (reference ConditioningMechanism:38-50)."""
+    cond_scaling: float
+    forward_operator: object
+    clip_x0_mean: bool = False
+    pigdm_posthoc_scaling: bool = False
+    max_rtol: float = 1.0
+    use_rtol_func: bool = False
+    cg_maxiter: Optional[int] = None
+
+    def init_state(self, batch: int, img_shape: Tuple[int, ...]):
+        return EmptyState(step=jnp.asarray(0, jnp.int32))
+
+    def __call__(self, denoise: Callable, x_t, y, sigma, state):
+        x0_new, state = self.x0_mean_update(denoise, x_t, y, sigma, state)
+        if self.clip_x0_mean:
+            x0_new = jnp.clip(x0_new, -1.0, 1.0)
+        return x0_new, state
+
+    def _bump(self, state):
+        return state._replace(step=state.step + 1)
+
+
+def _denoise_with_vjp(denoise, x_t, sigma):
+    """One forward through the denoiser; returns (x0_mean, x0_var, pullback)
+    where pullback(ct) = d(ct . x0_mean)/d x_t. Replaces the reference's
+    ``torch.autograd.grad((mat * x_0_mean).sum(), x_t)`` pattern. The variance
+    output rides along as vjp aux so it is not differentiated."""
+    x0, pullback, x0_var = jax.vjp(lambda x: denoise(x, sigma), x_t, has_aux=True)
+    return x0, x0_var, (lambda ct: pullback(ct)[0])
+
+
+@dataclasses.dataclass(frozen=True)
+class DPS(ConditioningMechanism):
+    """Diffusion posterior sampling: likelihood gradient of ||y - A x0(x_t)||
+    (reference DPS:52-63). cond_scaling = zeta."""
+
+    def x0_mean_update(self, denoise, x_t, y, sigma, state):
+        def norm_fn(x):
+            x0, _ = denoise(x, sigma)
+            diff = y - self.forward_operator.forward(x0, noiseless=True)
+            # per-sample norms summed: batch samples stay independent
+            norms = jnp.sqrt(jnp.sum(diff.reshape(diff.shape[0], -1) ** 2, axis=-1))
+            return jnp.sum(norms), x0
+
+        (_, x0), g = jax.value_and_grad(norm_fn, has_aux=True)(x_t)
+        x0_new = x0 - self.cond_scaling * g * sigma**2
+        return x0_new, self._bump(state)
+
+
+@dataclasses.dataclass(frozen=True)
+class PiGDM(ConditioningMechanism):
+    """Pseudo-inverse guided diffusion with MLE variance sigma^2/(1+sigma^2)
+    (reference PiGDM:134-152)."""
+
+    def x0_mean_update(self, denoise, x_t, y, sigma, state):
+        x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
+        x0_var = sigma**2 / (1 + sigma**2)
+        mat = choose_solver(self.forward_operator, y, x0, theta0_var=x0_var,
+                            method="scipy", max_rtol=self.max_rtol,
+                            maxiter=self.cg_maxiter)
+        grad = pullback(jax.lax.stop_gradient(mat))
+        scale = (x0_var if self.pigdm_posthoc_scaling else 1.0) * self.cond_scaling
+        return x0 + grad * scale * sigma**2, self._bump(state)
+
+
+@dataclasses.dataclass(frozen=True)
+class PiGDMVideodiffSchedule(ConditioningMechanism):
+    """PiGDM with the videodiff variance schedule x0_var = sigma^2
+    (reference :154-171)."""
+
+    def x0_mean_update(self, denoise, x_t, y, sigma, state):
+        x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
+        mat = choose_solver(self.forward_operator, y, x0, theta0_var=sigma**2,
+                            method="scipy", max_rtol=self.max_rtol,
+                            maxiter=self.cg_maxiter)
+        grad = pullback(jax.lax.stop_gradient(mat))
+        return x0 + grad * self.cond_scaling * sigma**2, self._bump(state)
+
+
+@dataclasses.dataclass(frozen=True)
+class PengConvert(ConditioningMechanism):
+    """Peng et al. 'convert' posterior covariance: the network's learned
+    per-pixel x0 variance below the MLE threshold, sigma^2/(1+sigma^2) above
+    (reference PengConvert:65-85)."""
+    mle_sigma_thres: float = 0.2
+
+    def x0_mean_update(self, denoise, x_t, y, sigma, state):
+        x0, x0_var, pullback = _denoise_with_vjp(denoise, x_t, sigma)
+        mle_var = sigma**2 / (1 + sigma**2)
+        var = jnp.where(sigma < self.mle_sigma_thres, x0_var,
+                        jnp.broadcast_to(mle_var, x0_var.shape))
+        mat = choose_solver(self.forward_operator, y, x0, theta0_var=var,
+                            method="scipy", max_rtol=self.max_rtol,
+                            maxiter=self.cg_maxiter)
+        grad = pullback(jax.lax.stop_gradient(mat))
+        return x0 + grad * self.cond_scaling * sigma**2, self._bump(state)
+
+
+@dataclasses.dataclass(frozen=True)
+class PengAnalytic(ConditioningMechanism):
+    """Peng et al. 'analytic': per-sigma average reconstruction MSE from the
+    bundled recon_mse table below the threshold (reference PengAnalytic:87-110)."""
+    mle_sigma_thres: float = 0.2
+    dataset: str = "imagenet"
+
+    def _table(self):
+        t = assets.recon_mse(self.dataset)
+        return jnp.asarray(t["sigmas"], jnp.float32), jnp.asarray(t["mse_list"], jnp.float32)
+
+    def x0_mean_update(self, denoise, x_t, y, sigma, state):
+        x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
+        sigmas, mses = self._table()
+        idx = jnp.argmin(jnp.abs(sigmas - sigma))
+        var = jnp.where(sigma < self.mle_sigma_thres, mses[idx],
+                        sigma**2 / (1 + sigma**2))
+        mat = choose_solver(self.forward_operator, y, x0, theta0_var=var,
+                            method="scipy", max_rtol=self.max_rtol,
+                            maxiter=self.cg_maxiter)
+        grad = pullback(jax.lax.stop_gradient(mat))
+        return x0 + grad * self.cond_scaling * sigma**2, self._bump(state)
+
+
+@dataclasses.dataclass(frozen=True)
+class TMPD(ConditioningMechanism):
+    """Tweedie moment-projected diffusion: per-pixel variance from the row
+    sums of the denoiser Jacobian, sigma^2 * d(sum x0)/dx_t
+    (reference TMPD:112-132). One vjp serves both the variance probe and the
+    guidance gradient (the reference runs the network twice)."""
+
+    def x0_mean_update(self, denoise, x_t, y, sigma, state):
+        x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
+        x0_var = pullback(jnp.ones_like(x0)) * sigma**2
+        mat = choose_solver(self.forward_operator, y, x0,
+                            theta0_var=jax.lax.stop_gradient(x0_var),
+                            method="scipy", max_rtol=self.max_rtol,
+                            sigma_t=sigma, use_rtol_func=True,
+                            maxiter=self.cg_maxiter)
+        grad = pullback(jax.lax.stop_gradient(mat))
+        return x0 + grad * self.cond_scaling * sigma**2, self._bump(state)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffPIR(ConditioningMechanism):
+    """Plug-and-play data proximal step: x0 + var * mat with var = sigma^2/lambda
+    (reference DiffPIR:173-186). No gradient through the network."""
+    diffpir_lambda: float = 10.0
+
+    def x0_mean_update(self, denoise, x_t, y, sigma, state):
+        x0, _ = denoise(x_t, sigma)
+        x0_var = sigma**2 / self.diffpir_lambda
+        mat = choose_solver(self.forward_operator, y, x0, theta0_var=x0_var,
+                            method="scipy", max_rtol=self.max_rtol,
+                            maxiter=self.cg_maxiter)
+        return x0 + mat * x0_var, self._bump(state)
+
+
+# ---------------------------------------------------------------------------
+# Free Hunch (the paper's contribution)
+# ---------------------------------------------------------------------------
+
+class FreeHunchState(NamedTuple):
+    """Scan carry for the online covariance mechanism. ``cov`` leaves have a
+    leading batch axis; prev_* mirror the reference's history lists (:216-218)
+    truncated to the single step they actually consult (:241-263)."""
+    cov: LowRank
+    prev_sigma: jnp.ndarray   # () f32
+    prev_x: jnp.ndarray       # (B, C, H, W)
+    prev_mean: jnp.ndarray    # (B, C, H, W)
+    step: jnp.ndarray         # () int32
+
+
+@dataclasses.dataclass(frozen=True)
+class FreeHunch(ConditioningMechanism):
+    """Online denoiser-covariance guidance (reference BFGSOnlineUpdate:190-294).
+
+    Per call: (optional) time update of the covariance to the new sigma with
+    analytic transport of the previous denoiser mean, (optional, gated) BFGS
+    space update from the pair of denoiser evaluations, then the tailored CG
+    solve against Sigma_0 and a vjp pullback of `mat` through the UNet, with
+    the large-gradient fallback replacing the vjp by Sigma_0 mat / sigma^2.
+    """
+    image_base_covariance: str = "identity"   # identity | dct_diagonal | dct_diagonal_noinfo
+    init_denoiser_variance: float = 1.0
+    init_noise_variance: float = 1.0          # sigma(t_0)^2
+    data_dim: int = 0
+    cov_capacity: int = 128
+    max_vector_count: int = 100000
+    project_to_diagonal: bool = False
+    do_space_updates: bool = True
+    use_analytical_score_time_update: bool = True
+    space_step_update_threshold: float = 10.0
+    space_step_update_lower_threshold: float = 1.0
+    denoiser_mean_error_threshold: float = 0.2
+    use_analytic_var_at_end: bool = False
+    mle_sigma_thres: float = 0.2
+    solver_type: str = "customcuda"
+    data_dir: Optional[str] = None
+    dataset: str = "imagenet"
+
+    # -- basis --------------------------------------------------------------
+
+    def _to_basis(self, x):
+        """(B, C, H, W) pixel -> (B, d) transform coordinates."""
+        if self.image_base_covariance.startswith("dct"):
+            x = dct_2d(x)
+        return x.reshape(x.shape[0], -1)
+
+    def _from_basis(self, v, img_shape):
+        v = v.reshape((-1,) + tuple(img_shape))
+        if self.image_base_covariance.startswith("dct"):
+            v = idct_2d(v)
+        return v
+
+    def _init_diag(self, img_shape) -> jnp.ndarray:
+        d = int(np.prod(img_shape))
+        if self.image_base_covariance == "dct_diagonal":
+            if self.data_dir:
+                dv = assets.load_dct_variance_from_dir(self.data_dir)
+            else:
+                dv = assets.dct_variance(self.dataset)
+            return jnp.asarray(dv, jnp.float32).reshape(-1)[:d]
+        if self.image_base_covariance in ("dct_diagonal_noinfo", "identity"):
+            return jnp.full((d,), float(self.init_denoiser_variance), jnp.float32)
+        raise ValueError(f"unknown image_base_covariance "
+                         f"{self.image_base_covariance!r} (pca_dct_diagonal was dead "
+                         f"code upstream — see SURVEY.md §7.4)")
+
+    def init_state(self, batch: int, img_shape: Tuple[int, ...]) -> FreeHunchState:
+        d = int(np.prod(img_shape))
+        diag = self._init_diag(img_shape)
+        cov1 = cov_mod.init_state(diag, d, self.cov_capacity)
+        cov = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape).copy(), cov1)
+        zeros = jnp.zeros((batch,) + tuple(img_shape), jnp.float32)
+        return FreeHunchState(cov=cov, prev_sigma=jnp.asarray(0.0, jnp.float32),
+                              prev_x=zeros, prev_mean=zeros,
+                              step=jnp.asarray(0, jnp.int32))
+
+    # -- covariance ops batched over samples ---------------------------------
+
+    def _cov_matvec_basis(self, cov, v_basis):
+        return jax.vmap(cov_mod.cov_matvec)(cov, v_basis)
+
+    def cov_matvec_pixel(self, cov, v):
+        """Sigma_0 @ v for pixel-space (B,C,H,W) v — the CG solver callback
+        (reference denoiser_cov_vector_dot via DCT wrapper :370-374)."""
+        shape = v.shape[1:]
+        vb = self._to_basis(v)
+        return self._from_basis(self._cov_matvec_basis(cov, vb), shape)
+
+    # -- the guidance update --------------------------------------------------
+
+    def x0_mean_update(self, denoise, x_t, y, sigma, state: FreeHunchState):
+        img_shape = x_t.shape[1:]
+        sigma = jnp.asarray(sigma, jnp.float32)
+        x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
+
+        has_prev = state.step > 0
+        sigma_changed = jnp.logical_and(has_prev, sigma != state.prev_sigma)
+        x_changed = jnp.logical_and(
+            has_prev, jnp.logical_not(jnp.all(jnp.abs(x_t - state.prev_x) < 1e-12)))
+
+        prev_x_b = self._to_basis(state.prev_x)
+        prev_mean_b = self._to_basis(state.prev_mean)
+
+        if self.do_space_updates:
+            # (1) time update + analytic transport of the previous mean
+            def do_time(_):
+                score_prev = (prev_mean_b - prev_x_b) / state.prev_sigma**2
+                cov2 = jax.vmap(cov_mod.time_update, in_axes=(0, None, None))(
+                    state.cov, state.prev_sigma, sigma)
+                mean_t, _ = jax.vmap(cov_mod.transport_score,
+                                     in_axes=(0, 0, None, None, 0, 0))(
+                    state.cov, cov2, state.prev_sigma, sigma, prev_x_b, score_prev)
+                return cov2, mean_t
+
+            def no_time(_):
+                return state.cov, prev_mean_b
+
+            cov, prev_mean_at_sigma_b = jax.lax.cond(sigma_changed, do_time, no_time, None)
+
+            # (2) optional extra network evaluation at (prev_x, sigma)
+            if not self.use_analytical_score_time_update:
+                def re_eval(_):
+                    m, _v = denoise(state.prev_x, sigma)
+                    return self._to_basis(m)
+                prev_mean_at_sigma_b = jax.lax.cond(
+                    x_changed, re_eval, lambda _: prev_mean_at_sigma_b, None)
+
+            # (3) gated BFGS space update (reference :250-257)
+            in_window = jnp.logical_and(sigma > self.space_step_update_lower_threshold,
+                                        sigma < self.space_step_update_threshold)
+            do_space = jnp.logical_and(x_changed, in_window)
+
+            def space(cov_in):
+                params = cov_mod.CovParams(project_to_diagonal=self.project_to_diagonal)
+                return jax.vmap(cov_mod.space_update,
+                                in_axes=(0, None, 0, 0, 0, 0, None))(
+                    cov_in, sigma, prev_x_b, self._to_basis(x_t),
+                    prev_mean_at_sigma_b, self._to_basis(x0), params)
+
+            cov = jax.lax.cond(do_space, space, lambda c: c, cov)
+        else:
+            # covariance-only time update (reference :261-263)
+            def do_time_cov(_):
+                return jax.vmap(cov_mod.time_update, in_axes=(0, None, None))(
+                    state.cov, state.prev_sigma, sigma)
+            cov = jax.lax.cond(sigma_changed, do_time_cov, lambda _: state.cov, None)
+
+        # (4) solve (A Sigma_0 A^T + sigma_s^2 I) u = y - A x0;  mat = A^T u
+        cov_mv = lambda v: self.cov_matvec_pixel(cov, v)
+
+        def cov_mat(_):
+            return choose_solver(self.forward_operator, y, x0, cov_mv=cov_mv,
+                                 method=self.solver_type, max_rtol=self.max_rtol,
+                                 sigma_t=sigma, use_rtol_func=self.use_rtol_func,
+                                 maxiter=self.cg_maxiter)
+
+        if self.use_analytic_var_at_end:
+            # low-sigma analytic-variance override (reference :273-278); only
+            # one of the two CG solves runs per step thanks to lax.cond
+            table = assets.recon_mse(self.dataset)
+            sigmas_t = jnp.asarray(table["sigmas"], jnp.float32)
+            mses_t = jnp.asarray(table["mse_list"], jnp.float32)
+            var = mses_t[jnp.argmin(jnp.abs(sigmas_t - sigma))]
+            analytic_case = sigma < self.mle_sigma_thres
+
+            def analytic_mat(_):
+                return choose_solver(
+                    self.forward_operator, y, x0,
+                    theta0_var=jnp.broadcast_to(var, x0.shape),
+                    method="scipy", max_rtol=self.max_rtol, maxiter=self.cg_maxiter)
+
+            mat = jax.lax.cond(analytic_case, analytic_mat, cov_mat, None)
+        else:
+            analytic_case = jnp.asarray(False)
+            mat = cov_mat(None)
+
+        # (5) guidance gradient: vjp of mat through the UNet, with the
+        # large-update fallback Sigma_0 mat / sigma^2 (reference :280-288)
+        grad = pullback(jax.lax.stop_gradient(mat))
+        upd_std = jnp.std((grad * sigma**2).reshape(grad.shape[0], -1), axis=-1)
+        fallback = self.cov_matvec_pixel(cov, jax.lax.stop_gradient(mat)) / sigma**2
+        use_fb = jnp.logical_and(jnp.logical_not(analytic_case),
+                                 upd_std > self.denoiser_mean_error_threshold)
+        grad = jnp.where(use_fb[:, None, None, None], fallback, grad)
+        x0_new = x0 + grad * self.cond_scaling * sigma**2
+
+        new_state = FreeHunchState(cov=cov, prev_sigma=sigma, prev_x=x_t,
+                                   prev_mean=x0, step=state.step + 1)
+        return x0_new, new_state

@@ -1,0 +1,206 @@
+"""Guidance linear-system ("mat") solvers: u = (A C A^T + sigma_s^2 I)^-1 r,
+mat = A^T u, with r = y - A x0_mean.
+
+Parity: reference ``conditioning_utils/conditioning_mechanisms.py:307-709``
+(three solver families x four operators dispatched by ``choose_solver:562``;
+sigma-adaptive rtol schedules ``rtol_func:307`` / ``rtol_func_2:325``).
+
+TPU redesign: one batched masked-``while_loop`` CG (free_hunch_tpu.ops.cg)
+serves every family; the per-iteration matvec
+FFT -> (iDCT -> lowrank -> DCT) -> FFT stays entirely on device and fuses
+under XLA — the reference's 'customcuda'/'customscipy'/closed-form split
+collapses into {closed_form, cg} with the corresponding rtol schedule and
+iteration budget. C is either a scalar/diagonal variance (PiGDM/TMPD/Peng
+families) or the Free Hunch low-rank covariance matvec.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+import free_hunch_tpu.ops.cg as cg_mod
+from free_hunch_tpu.ops.fftops import downsample, splits, upsample
+
+
+def rtol_schedule(sigma, rtol_max=1.0, rtol_min=1e-14, p=0.1):
+    """Log-log interpolated CG tolerance, tight at small sigma
+    (reference rtol_func:307-323). Traced-sigma safe."""
+    sigma_min, sigma_max = 0.1, 80.0
+    s = jnp.clip(jnp.asarray(sigma, jnp.float32), sigma_min, sigma_max)
+    log_factor = ((jnp.log10(s) - jnp.log10(sigma_min))
+                  / (jnp.log10(sigma_max) - jnp.log10(sigma_min))) ** p
+    log_rtol = log_factor * (jnp.log10(rtol_max) - jnp.log10(rtol_min)) + jnp.log10(rtol_min)
+    return 10.0 ** log_rtol
+
+
+def rtol_schedule_2(sigma, rtol_max=1.0, rtol_min=1e-4, p=0.05):
+    """Looser schedule used for the scipy-CG-equivalent paths / TMPD
+    (reference rtol_func_2:325-343)."""
+    return rtol_schedule(sigma, rtol_max, rtol_min, p)
+
+
+def _fft2(x):
+    return jnp.fft.fft2(x.astype(jnp.complex64))
+
+
+def _ifft2_r(x):
+    return jnp.fft.ifft2(x).real.astype(jnp.float32)
+
+
+def _flatten(v):
+    return v.reshape(v.shape[0], -1)
+
+
+def _run_cg(matvec_img: Callable, b_img: jnp.ndarray, rtol, maxiter: int):
+    """CG over (B, ...) image-shaped systems via flatten/unflatten."""
+    shape = b_img.shape
+
+    def mv(v):
+        return _flatten(matvec_img(v.reshape(shape)))
+
+    u, info = cg_mod.cg_batch(mv, _flatten(b_img), rtol=rtol, maxiter=maxiter)
+    return u.reshape(shape), info
+
+
+def _apply_c(v, theta0_var=None, cov_mv: Optional[Callable] = None):
+    """C @ v: scalar/diagonal variance or low-rank covariance-model matvec."""
+    if cov_mv is not None:
+        return cov_mv(v)
+    return theta0_var * v
+
+
+# ---------------------------------------------------------------------------
+# Deblur (gaussian_blur / motion_blur): A = ifft2(FB * fft2(.)) circular conv.
+# ---------------------------------------------------------------------------
+
+def deblur_mat_closed_form(operator, y, x0_mean, theta0_var):
+    """Scalar-variance case diagonalises in Fourier space
+    (reference _deblur_mat:450-456)."""
+    sigma_s = jnp.clip(operator.sigma_s, min=0.001)
+    FB, FBC, F2B, _ = operator.pre_calculated
+    resid = y - _ifft2_r(FB * _fft2(x0_mean))
+    return _ifft2_r(_fft2(resid) / (sigma_s**2 + theta0_var * F2B) * FBC)
+
+
+def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
+                  rtol=1e-4, maxiter=1000):
+    """General-covariance case (reference
+    _deblur_mat_generic_customcuda_bfgs_tailored:490 and the scipy twin :529).
+    Per CG iteration: u -> sigma_s^2 u + A C A^T u with A^T via FBC."""
+    sigma_s = jnp.clip(operator.sigma_s, min=0.001)
+    FB, FBC, F2B, _ = operator.pre_calculated
+
+    def matvec(u):
+        v = _ifft2_r(FBC * _fft2(u))          # A^T u
+        v = _apply_c(v, theta0_var, cov_mv)   # C .
+        v = _ifft2_r(FB * _fft2(v))           # A .
+        return sigma_s**2 * u + v
+
+    b = y - _ifft2_r(FB * _fft2(x0_mean))
+    u, _ = _run_cg(matvec, b, rtol, maxiter)
+    return _ifft2_r(FBC * _fft2(u))
+
+
+# ---------------------------------------------------------------------------
+# Super-resolution: A = downsample(ifft2(FB * fft2(.)), sf).
+# ---------------------------------------------------------------------------
+
+def sr_mat_closed_form(operator, y, x0_mean, theta0_var):
+    """Scalar-variance case via the polyphase (splits) identity
+    (reference _super_resolution_mat:602-610)."""
+    sigma_s = jnp.clip(operator.sigma_s, min=0.01)
+    sf = operator.scale_factor
+    FB, FBC, F2B, _ = operator.pre_calculated
+    invW = jnp.mean(splits(F2B, sf), axis=-1)
+    resid = y - downsample(_ifft2_r(FB * _fft2(x0_mean)), sf)
+    num = _fft2(resid) / (sigma_s**2 + theta0_var * invW)
+    return _ifft2_r(FBC * jnp.tile(num, (1, 1, sf, sf)))
+
+
+def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
+              rtol=1e-4, maxiter=1000):
+    """(reference _super_resolution_mat_generic_customcuda_bfgs_tailored:641)."""
+    sigma_s = jnp.clip(operator.sigma_s, min=0.01)
+    sf = operator.scale_factor
+    FB, FBC, F2B, _ = operator.pre_calculated
+
+    def matvec(u):
+        v = _ifft2_r(FBC * _fft2(upsample(u, sf)))
+        v = _apply_c(v, theta0_var, cov_mv)
+        v = downsample(_ifft2_r(FB * _fft2(v)), sf)
+        return sigma_s**2 * u + v
+
+    b = y - downsample(_ifft2_r(FB * _fft2(x0_mean)), sf)
+    u, _ = _run_cg(matvec, b, rtol, maxiter)
+    return _ifft2_r(FBC * _fft2(upsample(u, sf)))
+
+
+# ---------------------------------------------------------------------------
+# Inpainting: A = mask * .
+# ---------------------------------------------------------------------------
+
+def inpainting_mat_closed_form(operator, y, x0_mean, theta0_var):
+    """Scalar variance (reference _inpainting_mat:354-358)."""
+    sigma_s = jnp.clip(operator.sigma_s, min=0.001)
+    mask = operator.mask
+    return (mask * y - mask * x0_mean) / (sigma_s**2 + theta0_var)
+
+
+def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
+                      rtol=1e-4, maxiter=1000):
+    """(reference _inpainting_mat_generic_customcuda_bfgs_tailored:385 / the
+    diagonal-variance CG at :366-381)."""
+    sigma_s = jnp.clip(operator.sigma_s, min=0.001)
+    mask = operator.mask
+
+    def matvec(u):
+        v = _apply_c(mask * u, theta0_var, cov_mv)
+        return sigma_s**2 * u + mask * v
+
+    b = mask * y - mask * x0_mean
+    mat, _ = _run_cg(matvec, b, rtol, maxiter)
+    return mat
+
+
+# ---------------------------------------------------------------------------
+# Dispatch (reference choose_solver:562-600)
+# ---------------------------------------------------------------------------
+
+_CLOSED = {"gaussian_blur": deblur_mat_closed_form, "motion_blur": deblur_mat_closed_form,
+           "super_resolution": sr_mat_closed_form, "inpainting": inpainting_mat_closed_form}
+_CG = {"gaussian_blur": deblur_mat_cg, "motion_blur": deblur_mat_cg,
+       "super_resolution": sr_mat_cg, "inpainting": inpainting_mat_cg}
+
+
+def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
+                  method: str = "cg", max_rtol: float = 1.0, sigma_t=None,
+                  use_rtol_func: bool = False, maxiter: Optional[int] = None):
+    """Solve for ``mat`` given an operator by name.
+
+    method:
+      'closed_form' — scalar-variance Fourier/diagonal solution; falls back to
+        CG automatically when theta0_var is per-pixel (diagonal) or a
+        covariance matvec is supplied (matches the reference's numel()==1
+        branching).
+      'cg' / 'customcuda' — on-device CG with the tight rtol schedule
+        (maxiter 5000), the reference's GPU path.
+      'customscipy' — on-device CG with the loose schedule (maxiter 1000),
+        numerically matching the reference's scipy path.
+    """
+    name = operator.name
+    if name not in _CLOSED:
+        raise ValueError(f"no mat solver for operator {name!r}; expected one of "
+                         f"{sorted(_CLOSED)}")
+    scalarish = (cov_mv is None and theta0_var is not None
+                 and jnp.ndim(theta0_var) == 0)
+    if method in ("closed_form", "scipy") and scalarish:
+        return _CLOSED[name](operator, y, x0_mean, theta0_var)
+    if method in ("cg", "customcuda"):
+        rtol = rtol_schedule(sigma_t, max_rtol) if sigma_t is not None else 1e-4
+        return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
+                         rtol=rtol, maxiter=maxiter or 5000)
+    # scipy-equivalent path (and closed-form fallbacks with non-scalar var)
+    rtol = rtol_schedule_2(sigma_t) if (sigma_t is not None and use_rtol_func) else 1e-4
+    return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
+                     rtol=rtol, maxiter=maxiter or 1000)

@@ -67,9 +67,11 @@ class IDDPMLinearPrecond:
         betas = np.concatenate([[0.0], np.linspace(self.beta_min, self.beta_max, self.M)])
         alphas_cumprod = np.cumprod(1.0 - betas)
         alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
-        posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
-        posterior_mean_coef1 = (betas * np.sqrt(alphas_cumprod_prev)
-                                / (1.0 - alphas_cumprod))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # index 0 (the prepended zero-beta level) is 0/0 and never used
+            posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+            posterior_mean_coef1 = (betas * np.sqrt(alphas_cumprod_prev)
+                                    / (1.0 - alphas_cumprod))
         object.__setattr__(self, "posterior_variance",
                            jnp.asarray(np.nan_to_num(posterior_variance), jnp.float32))
         object.__setattr__(self, "posterior_mean_coef1",

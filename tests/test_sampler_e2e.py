@@ -1,0 +1,138 @@
+"""End-to-end guided sampling on a tiny random UNet: every mechanism runs
+inside one jitted lax.scan, produces finite in-range images, and the
+Free Hunch covariance state accumulates BFGS columns."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from free_hunch_tpu.guidance import choose_conditioning_mechanism
+from free_hunch_tpu.models.precond import IDDPMLinearPrecond
+from free_hunch_tpu.models.unet import UNetConfig, UNetModel
+from free_hunch_tpu.operators import get_operator
+from free_hunch_tpu.samplers import conditional_sampler
+
+RES = 32
+BATCH = 2
+
+
+@functools.lru_cache(maxsize=1)
+def _net():
+    cfg = UNetConfig(image_size=RES, in_channels=3, model_channels=32,
+                     out_channels=6, num_res_blocks=1, attention_resolutions=(4,),
+                     channel_mult=(1, 2), num_heads=2, num_head_channels=16,
+                     dtype=jnp.float32, remat=False)
+    model = UNetModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, RES, RES)),
+                        jnp.zeros((1,)))
+    pre = IDDPMLinearPrecond(model, img_resolution=RES, img_channels=3)
+    denoise = lambda x, s: pre.apply(params, x, s)
+    return pre, denoise
+
+
+def _operator(name):
+    if name == "inpainting":
+        return get_operator(name="inpainting", sigma_s=0.05,
+                            mask_opt={"mask_type": "random", "image_size": RES,
+                                      "mask_prob_range": (0.2, 0.4)},
+                            mask_key=jax.random.PRNGKey(7),
+                            in_shape=(1, 3, RES, RES))
+    if name == "gaussian_blur":
+        k = np.exp(-0.5 * (np.mgrid[-3:4, -3:4][0] ** 2
+                           + np.mgrid[-3:4, -3:4][1] ** 2) / 1.5**2)
+        return get_operator(name="gaussian_blur", in_shape=(1, 3, RES, RES),
+                            sigma_s=0.05, kernel=k / k.sum())
+    if name == "super_resolution":
+        return get_operator(name="super_resolution", in_shape=(1, 3, RES, RES),
+                            scale_factor=2, sigma_s=0.05)
+    raise ValueError(name)
+
+
+def _run(mechanism_name, operator_name, num_steps=4, solver="heun", **kw):
+    pre, denoise = _net()
+    op = _operator(operator_name)
+    mech_cls = choose_conditioning_mechanism(mechanism_name)
+    kwargs = dict(cond_scaling=1.0, forward_operator=op, clip_x0_mean=True,
+                  cg_maxiter=50)
+    if mechanism_name == "online_covariance":
+        kwargs.update(init_denoiser_variance=1.0, init_noise_variance=1.0,
+                      data_dim=3 * RES * RES, cov_capacity=32,
+                      space_step_update_lower_threshold=0.01,
+                      space_step_update_threshold=50.0)
+    if mechanism_name == "diffpir":
+        kwargs.update(diffpir_lambda=10.0)
+    kwargs.update(kw)
+    mech = mech_cls(**kwargs)
+
+    cond = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (BATCH, 3, RES, RES)),
+                       jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 3, RES, RES))
+    x, x_all, y = conditional_sampler(
+        denoise, noise, cond, op, mech, rng_key=jax.random.PRNGKey(3),
+        round_sigma=pre.round_sigma, net_sigma_min=pre.sigma_min,
+        net_sigma_max=pre.sigma_max, num_steps=num_steps, solver=solver,
+        discretization="edm", schedule="linear", scaling="none")
+    assert x.shape == (BATCH, 3, RES, RES)
+    assert np.isfinite(np.asarray(x)).all()
+    return np.asarray(x)
+
+
+@pytest.mark.parametrize("mech", ["dps", "pigdm", "pigdm_videodiff_schedule",
+                                  "diffpir", "peng_convert", "peng_analytic",
+                                  "tmpd"])
+def test_mechanisms_run_e2e_inpainting(mech):
+    x = _run(mech, "inpainting")
+    assert np.abs(x).max() < 50  # sane dynamic range after 4 steps
+
+
+def test_dps_gaussian_blur_and_sr():
+    _run("dps", "gaussian_blur")
+    _run("dps", "super_resolution")
+
+
+def test_free_hunch_e2e_identity_basis():
+    x = _run("online_covariance", "inpainting", num_steps=4)
+    assert np.abs(x).max() < 50
+
+
+def test_free_hunch_e2e_dct_basis_blur():
+    x = _run("online_covariance", "gaussian_blur", num_steps=3,
+             image_base_covariance="dct_diagonal_noinfo")
+    assert np.isfinite(x).all()
+
+
+def test_free_hunch_state_accumulates_columns():
+    pre, denoise = _net()
+    op = _operator("inpainting")
+    mech = choose_conditioning_mechanism("online_covariance")(
+        cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
+        init_denoiser_variance=1.0, init_noise_variance=4.0,
+        data_dim=3 * RES * RES, cov_capacity=32, cg_maxiter=25,
+        space_step_update_lower_threshold=0.0,
+        space_step_update_threshold=1e9)
+    state = mech.init_state(BATCH, (3, RES, RES))
+    rng = np.random.default_rng(5)
+    y = op.forward(jnp.asarray(rng.uniform(-1, 1, (BATCH, 3, RES, RES)), jnp.float32),
+                   noiseless=True)
+    x = jnp.asarray(rng.normal(size=(BATCH, 3, RES, RES)) * 2.0, jnp.float32)
+
+    # call 1 @ sigma=2: no history -> no updates
+    x0a, state = mech(denoise, x, y, 2.0, state)
+    assert int(state.cov.k[0]) == 0 and int(state.step) == 1
+    # call 2 @ sigma=2, new x: same sigma -> space update appends 2 columns
+    x0b, state = mech(denoise, x + 0.1 * jnp.asarray(rng.normal(size=x.shape),
+                                                     jnp.float32), y, 2.0, state)
+    assert int(state.cov.k[0]) == 2
+    # call 3 @ sigma=1.2, new x: time update + space update
+    x0c, state = mech(denoise, x0b + 0.05, y, 1.2, state)
+    assert int(state.cov.k[0]) == 4
+    assert float(state.prev_sigma) == pytest.approx(1.2)
+    for v in (x0a, x0b, x0c):
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_euler_solver_single_call_per_step():
+    x = _run("dps", "inpainting", solver="euler")
+    assert np.isfinite(x).all()
