@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: guided 256x256 sampling throughput on one TPU chip.
+
+Protocol (BASELINE.md north star): Free Hunch full pipeline — 256x256 ADM
+UNet denoiser (552M params, bf16 torso), DCT-basis online covariance with
+time+BFGS space updates, tailored CG guidance solve, 30 Heun steps,
+gaussian-blur operator. Metric: guided samples per minute per chip;
+vs_baseline is measured against the 64 samples/min/chip target (the reference
+publishes no numbers — BASELINE.md).
+
+Prints ONE JSON line on stdout; progress goes to stderr.
+Env knobs: BENCH_BATCH (default 2), BENCH_STEPS (default 30), BENCH_ITERS.
+"""
+import json
+import os
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from free_hunch_tpu.guidance import choose_conditioning_mechanism
+    from free_hunch_tpu.models.loading import load_model, wrap_precond
+    from free_hunch_tpu.operators import get_operator
+    from free_hunch_tpu.samplers.edm import prepare_schedule, sample_scan
+
+    batch = int(os.environ.get("BENCH_BATCH", 2))
+    num_steps = int(os.environ.get("BENCH_STEPS", 30))
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+    res = int(os.environ.get("BENCH_RES", 256))
+
+    log(f"devices: {jax.devices()}")
+    log(f"batch={batch} steps={num_steps} res={res}")
+
+    model, params, model_args = load_model(
+        "models/256x256_diffusion_uncond.pt",
+        "models/256x256_diffusion_uncond_setup.txt",
+        dtype=jnp.bfloat16, init_random_if_missing=True)
+    precond = wrap_precond(model, model_args, "linear")
+    denoise = lambda x, s: precond.apply(params, x, s)
+
+    op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),
+                      sigma_s=0.1, kernel_size=61, intensity=3.0)
+    mech = choose_conditioning_mechanism("online_covariance")(
+        cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
+        image_base_covariance="dct_diagonal",
+        init_denoiser_variance=1.0, init_noise_variance=80.0**2,
+        data_dim=3 * res * res, cov_capacity=128,
+        solver_type="customcuda", max_rtol=1.0)
+
+    xs, sigma0_scaled = prepare_schedule(
+        round_sigma=precond.round_sigma, net_sigma_min=precond.sigma_min,
+        net_sigma_max=precond.sigma_max, num_steps=num_steps, solver="heun",
+        discretization="edm", schedule="linear", scaling="none")
+
+    @jax.jit
+    def run(noise, y, key):
+        x, _ = sample_scan(denoise, mech, noise, y, xs, key,
+                           sigma0_scaled=sigma0_scaled)
+        return x
+
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.uniform(jax.random.fold_in(key, 0), (batch, 3, res, res),
+                              minval=-1, maxval=1)
+    y = op.forward(cond, noiseless=False, key=jax.random.fold_in(key, 1))
+    noise = jax.random.normal(jax.random.fold_in(key, 2), (batch, 3, res, res))
+
+    log("compiling + warmup run...")
+    t0 = time.time()
+    run(noise, y, jax.random.fold_in(key, 3)).block_until_ready()
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    times = []
+    for i in range(iters):
+        t0 = time.time()
+        run(noise, y, jax.random.fold_in(key, 10 + i)).block_until_ready()
+        times.append(time.time() - t0)
+        log(f"iter {i}: {times[-1]:.2f}s")
+
+    best = min(times)
+    samples_per_min = batch * 60.0 / best
+    target = 64.0
+    print(json.dumps({
+        "metric": "freehunch_guided_samples_per_min_per_chip",
+        "value": round(samples_per_min, 3),
+        "unit": "samples/min (256x256, 30 Heun steps, online_covariance+CG)",
+        "vs_baseline": round(samples_per_min / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Model loading: OpenAI setup-file parsing + checkpoint conversion + orbax IO.
+
+Parity: reference ``training/openai_loading_utils.py:12-42`` (torch state dict
++ ``models/*_setup.txt`` arg-string) and the checkpoint-load path of
+``generate_conditional.py:222-244``. The TPU build converts the torch
+checkpoint once (``models/convert.py``) and caches the flax pytree next to it
+as an orbax/npz checkpoint so later runs never import torch.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from free_hunch_tpu.models.convert import load_torch_checkpoint
+from free_hunch_tpu.models.precond import IDDPMCosinePrecond, IDDPMLinearPrecond
+from free_hunch_tpu.models.unet import UNetConfig, UNetModel, create_model
+
+_BOOL_KEYS = ("class_cond", "learn_sigma", "resblock_updown",
+              "use_new_attention_order", "use_fp16", "use_scale_shift_norm",
+              "use_checkpoint")
+_INT_KEYS = ("image_size", "num_channels", "num_head_channels", "num_res_blocks",
+             "num_heads", "num_heads_upsample")
+_FLOAT_KEYS = ("dropout",)
+_DROP_KEYS = ("diffusion_steps", "noise_schedule", "timestep_respacing", "rescale_timesteps",
+              "rescale_learned_sigmas", "use_kl", "predict_xstart", "lr", "batch_size")
+
+
+def parse_setup_txt(text: str) -> dict:
+    """Parse an OpenAI '--key value --key value' setup string into typed kwargs
+    (reference parse_args_to_dict:5-10 + the coercions at :22-37)."""
+    args = {}
+    for chunk in text.strip().split("--")[1:]:
+        chunk = chunk.strip()
+        if not chunk:
+            continue
+        key, _, value = chunk.partition(" ")
+        args[key.strip()] = value.strip()
+    for k in _DROP_KEYS:
+        args.pop(k, None)
+    for k in _BOOL_KEYS:
+        if k in args:
+            args[k] = str(args[k]).lower() == "true"
+    for k in _INT_KEYS:
+        if k in args:
+            args[k] = int(args[k])
+    for k in _FLOAT_KEYS:
+        if k in args:
+            args[k] = float(args[k])
+    return args
+
+
+def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
+               init_random_if_missing: bool = False, rng_seed: int = 0
+               ) -> Tuple[UNetModel, dict, dict]:
+    """Build the UNet per the setup file and load converted weights.
+
+    Returns (model, params, model_args). When the .pt checkpoint is absent
+    and ``init_random_if_missing`` (used by benchmarks and smoke tests without
+    downloaded checkpoints), parameters are randomly initialised instead.
+    A converted copy is cached at ``<state_dict_path>.npz``.
+    """
+    with open(setup_path, "r") as f:
+        model_args = parse_setup_txt(f.read())
+    model = create_model(dtype=dtype, **model_args)
+
+    cache = state_dict_path + ".npz" if state_dict_path else None
+    if cache and os.path.exists(cache):
+        params = load_params_npz(cache)
+    elif state_dict_path and os.path.exists(state_dict_path):
+        params = load_torch_checkpoint(state_dict_path, model.cfg)
+        try:
+            save_params_npz(cache, params)
+        except OSError:
+            pass
+    elif init_random_if_missing:
+        res = model_args.get("image_size", 256)
+        params = model.init(jax.random.PRNGKey(rng_seed),
+                            jnp.zeros((1, 3, res, res), jnp.float32),
+                            jnp.zeros((1,), jnp.float32))
+    else:
+        raise FileNotFoundError(
+            f"checkpoint {state_dict_path!r} not found; download it per the "
+            f"upstream README or pass init_random_if_missing=True")
+    return model, params, model_args
+
+
+def wrap_precond(model: UNetModel, model_args: dict, kind: str = "linear"):
+    """Wrap in the sigma-parameterisation (reference load_network:232-241)."""
+    res = model_args.get("image_size", model.cfg.image_size)
+    label_dim = 1000 if model_args.get("class_cond") else 0
+    cls = {"linear": IDDPMLinearPrecond, "cosine": IDDPMCosinePrecond}[kind]
+    return cls(model, img_resolution=res, img_channels=3, label_dim=label_dim)
+
+
+# -- flat npz pytree IO (torch-free fast path) --------------------------------
+
+def save_params_npz(path: str, params: dict) -> None:
+    import flax.traverse_util as tu
+    flat = {"/".join(k): np.asarray(v) for k, v in
+            tu.flatten_dict(params).items()}
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str) -> dict:
+    import flax.traverse_util as tu
+    data = np.load(path)
+    flat = {tuple(k.split("/")): jnp.asarray(data[k]) for k in data.files}
+    return tu.unflatten_dict(flat)

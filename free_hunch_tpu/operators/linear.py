@@ -42,6 +42,30 @@ def register_operator(name: str):
     return wrapper
 
 
+def register_operator_pytree(cls, array_fields):
+    """Make an operator class a jax pytree whose device arrays are leaves.
+
+    This is what lets the jitted sampler take the operator as an *argument*
+    instead of a baked-in constant: per-image quantities (a fresh inpainting
+    mask, a new blur kernel) flow in without retracing — one compilation
+    serves the whole evaluation run.
+    """
+    def flatten(op):
+        children = tuple(getattr(op, f) for f in array_fields)
+        aux = {k: v for k, v in op.__dict__.items() if k not in array_fields}
+        return children, (tuple(sorted(aux)), tuple(aux[k] for k in sorted(aux)))
+
+    def unflatten(aux, children):
+        op = object.__new__(cls)
+        keys, vals = aux
+        op.__dict__.update(dict(zip(keys, vals)))
+        op.__dict__.update(dict(zip(array_fields, children)))
+        return op
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
 def get_operator(name: str, **kwargs):
     if name not in __OPERATOR__:
         raise NameError(f"operator {name!r} is not defined")
@@ -265,6 +289,18 @@ class PhaseRetrievalOperator(NonLinearOperator):
             padded.astype(jnp.complex64), axes=(-2, -1)), norm="ortho"), axes=(-2, -1))
         amp = jnp.abs(f)
         return self._noise(amp, noiseless, key)
+
+
+# Pytree registrations: device arrays as leaves, config as static aux.
+register_operator_pytree(DenoiseOperator, ("sigma_s",))
+register_operator_pytree(ColorizationOperator, ("sigma_s",))
+register_operator_pytree(GaussianBlurOperator, ("sigma_s", "kernel", "FB", "FBC", "F2B"))
+register_operator_pytree(MotionBlurOperator, ("sigma_s", "kernel", "FB", "FBC", "F2B"))
+register_operator_pytree(SuperResolutionOperator,
+                         ("sigma_s", "FB", "FBC", "F2B",
+                          "_up_adjoint_h", "_up_adjoint_w"))
+register_operator_pytree(InpaintingOperator, ("sigma_s", "mask"))
+register_operator_pytree(PhaseRetrievalOperator, ("sigma_s",))
 
 
 @register_operator(name="nonlinear_blur")

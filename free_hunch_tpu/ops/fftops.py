@@ -17,6 +17,15 @@ def p2o(psf: jnp.ndarray, shape) -> jnp.ndarray:
     sits at the origin, and FFTs. Matches ``utils_sisr.p2o``.
     """
     h, w = psf.shape[-2], psf.shape[-1]
+    H, W = shape
+    if h > H or w > W:
+        # center-crop PSFs larger than the target grid (lets the bundled
+        # 61x61 kernels drive small test resolutions; full-size images are
+        # unaffected)
+        ch, cw = min(h, H), min(w, W)
+        psf = psf[..., (h - ch) // 2:(h - ch) // 2 + ch,
+                  (w - cw) // 2:(w - cw) // 2 + cw]
+        h, w = ch, cw
     otf = jnp.zeros(psf.shape[:-2] + tuple(shape), dtype=psf.dtype)
     otf = otf.at[..., :h, :w].set(psf)
     otf = jnp.roll(otf, (-(h // 2), -(w // 2)), axis=(-2, -1))

@@ -1,1 +1,3 @@
-from free_hunch_tpu.samplers.edm import conditional_sampler, get_sigma_steps  # noqa: F401
+from free_hunch_tpu.samplers.edm import (  # noqa: F401
+    conditional_sampler, get_sigma_steps, prepare_schedule, sample_scan,
+)

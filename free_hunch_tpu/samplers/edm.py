@@ -99,27 +99,21 @@ def _build_schedule(schedule: str, scaling: str, vp_beta_d, vp_beta_min) -> _Sch
     return _Schedule(sigma, sigma_deriv, sigma_inv, s_fn, s_deriv)
 
 
-def conditional_sampler(
-    denoise: Callable,              # (x, sigma) -> (x0_mean, x0_var), jit-pure
-    noise: jnp.ndarray,             # (B, C, H, W) standard normal
-    cond_images: jnp.ndarray,       # (B, C, H, W) clean conditioning images
-    operator,                       # measurement operator (A)
-    mechanism,                      # conditioning mechanism instance
-    *,
-    rng_key,                        # key for churn noise + measurement noise
-    round_sigma: Callable,          # host-side grid snap (precond.round_sigma)
-    net_sigma_min: float, net_sigma_max: float,
+def prepare_schedule(
+    *, round_sigma: Callable, net_sigma_min: float, net_sigma_max: float,
     num_steps: int = 18, sigma_min: Optional[float] = None,
     sigma_max: Optional[float] = None, rho: float = 7.0,
     solver: str = "heun", discretization: str = "edm", schedule: str = "linear",
     scaling: str = "none", epsilon_s: float = 1e-3, C_1: float = 0.001,
     C_2: float = 0.008, M: int = 1000, alpha: float = 1.0,
     S_churn: float = 0.0, S_min: float = 0.0, S_max: float = float("inf"),
-    S_noise: float = 1.0, return_trajectory: bool = False, jit: bool = True,
+    S_noise: float = 1.0,
 ):
-    """Run the guided probability-flow ODE. Returns (x_final, x_all, y) where
-    y = A(cond_images) + measurement noise (the reference's contract,
-    generate_conditional.py:169)."""
+    """Host-side schedule precomputation. Returns (xs, sigma0_scaled) where
+    ``xs`` is the per-step array dict consumed by ``sample_scan`` and
+    ``sigma0_scaled`` = sigma(t_0) * s(t_0) scales the initial noise. Compute
+    once per config; the result is reused by every batch (one compilation for
+    the whole run)."""
     assert solver in ("euler", "heun")
     assert discretization in ("vp", "ve", "iddpm", "edm", "ddpm_linear")
 
@@ -164,12 +158,16 @@ def conditional_sampler(
     sigma_hat = np.array([sch.sigma(t) for t in t_hat])
     t_prime = t_hat + alpha * h
     sigma_prime = np.array([sch.sigma(t) for t in t_prime])
-    # corrector coefficients (reference :166)
-    c1 = np.array([sch.sigma_deriv(t) / sch.sigma(t) + sch.s_deriv(t) / sch.s(t)
-                   for t in t_prime])
-    c2 = np.array([sch.sigma_deriv(t) * sch.s(t) / sch.sigma(t) for t in t_prime])
+    # corrector coefficients (reference :166); zeroed on steps where the Heun
+    # branch never runs (the final step has t_prime = 0)
     use_heun = np.array([(solver == "heun") and (i < num_steps - 1)
                          for i in range(num_steps)])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c1 = np.array([sch.sigma_deriv(t) / sch.sigma(t) + sch.s_deriv(t) / sch.s(t)
+                       for t in t_prime])
+        c2 = np.array([sch.sigma_deriv(t) * sch.s(t) / sch.sigma(t) for t in t_prime])
+    c1 = np.where(use_heun, np.nan_to_num(c1), 0.0)
+    c2 = np.where(use_heun, np.nan_to_num(c2), 0.0)
 
     xs = dict(
         sigma_hat=jnp.asarray(sigma_hat, jnp.float32),
@@ -179,16 +177,20 @@ def conditional_sampler(
         sigma_prime=jnp.asarray(sigma_prime, jnp.float32),
         c1=jnp.asarray(c1, jnp.float32), c2=jnp.asarray(c2, jnp.float32),
         use_heun=jnp.asarray(use_heun),
-        step_key=jax.random.split(jax.random.fold_in(rng_key, 1), num_steps),
     )
+    sigma0_scaled = float(sch.sigma(t_steps[0]) * sch.s(t_steps[0]))
+    return xs, sigma0_scaled
 
-    # --- measurement -------------------------------------------------------
-    y = operator.forward(cond_images, noiseless=False,
-                         key=jax.random.fold_in(rng_key, 0))
 
+def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray,
+                xs: dict, rng_key, *, sigma0_scaled: float, alpha: float = 1.0,
+                return_trajectory: bool = False):
+    """The pure jittable sampling loop: one ``lax.scan`` over the schedule.
+    ``noise`` is standard normal; churn noise keys derive from ``rng_key``."""
+    num_steps = xs["sigma_hat"].shape[0]
+    step_keys = jax.random.split(rng_key, num_steps)
     gstate0 = mechanism.init_state(noise.shape[0], noise.shape[1:])
-    sigma0 = float(sch.sigma(t_steps[0]))
-    x0_init = noise.astype(jnp.float32) * (sigma0 * float(sch.s(t_steps[0])))
+    x0_init = noise.astype(jnp.float32) * sigma0_scaled
 
     def body(carry, step):
         x, gstate = carry
@@ -213,13 +215,41 @@ def conditional_sampler(
         out = x_next if return_trajectory else None
         return (x_next, gstate), out
 
-    def run(x0, gstate):
-        return jax.lax.scan(body, (x0, gstate), xs)
+    scan_xs = dict(xs, step_key=step_keys)
+    (x_final, _), traj = jax.lax.scan(body, (x0_init, gstate0), scan_xs)
+    return x_final, (traj if return_trajectory else [x0_init])
+
+
+def conditional_sampler(
+    denoise: Callable,              # (x, sigma) -> (x0_mean, x0_var), jit-pure
+    noise: jnp.ndarray,             # (B, C, H, W) standard normal
+    cond_images: jnp.ndarray,       # (B, C, H, W) clean conditioning images
+    operator,                       # measurement operator (A)
+    mechanism,                      # conditioning mechanism instance
+    *,
+    rng_key,                        # key for churn noise + measurement noise
+    round_sigma: Callable,          # host-side grid snap (precond.round_sigma)
+    net_sigma_min: float, net_sigma_max: float,
+    alpha: float = 1.0, return_trajectory: bool = False, jit: bool = True,
+    **schedule_kwargs,
+):
+    """Convenience one-shot wrapper: prepare the schedule, take the
+    measurement, run the scan. Returns (x_final, x_all, y)
+    (the reference's contract, generate_conditional.py:169). For repeated
+    batches, use prepare_schedule + sample_scan under one persistent jit."""
+    xs, sigma0_scaled = prepare_schedule(
+        round_sigma=round_sigma, net_sigma_min=net_sigma_min,
+        net_sigma_max=net_sigma_max, alpha=alpha, **schedule_kwargs)
+
+    y = operator.forward(cond_images, noiseless=False,
+                         key=jax.random.fold_in(rng_key, 0))
+
+    def run(noise_, y_, key_):
+        return sample_scan(denoise, mechanism, noise_, y_, xs, key_,
+                           sigma0_scaled=sigma0_scaled, alpha=alpha,
+                           return_trajectory=return_trajectory)
 
     if jit:
         run = jax.jit(run)
-    (x_final, _), traj = run(x0_init, gstate0)
-
-    # the reference returns [initial_latent] as the trajectory unless extended
-    x_all = traj if return_trajectory else [x0_init]
+    x_final, x_all = run(noise, y, jax.random.fold_in(rng_key, 1))
     return x_final, x_all, y

@@ -1,0 +1,102 @@
+"""Driver-level smoke tests: config loading, CLI-equivalent evaluation run on
+the bundled 10-image ImageNet subset (downscaled, random-init net), artifact
+layout (images/, cond_images/, forward_images/, results.txt, output.log),
+metric aggregation, and multi-device batch sharding."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from free_hunch_tpu.config import get_job_name_params, load_config
+
+DATA = "/root/reference/data/imagenet/00000"
+SETUP32 = None
+
+
+@pytest.fixture(scope="module")
+def setup32(tmp_path_factory):
+    p = tmp_path_factory.mktemp("models") / "setup32.txt"
+    p.write_text("--channel_mult 1,2 "
+                 "--attention_resolutions 8 --class_cond False --diffusion_steps 1000 "
+                 "--dropout 0.0 --image_size 32 --learn_sigma True "
+                 "--noise_schedule linear --num_channels 32 --num_head_channels 16 "
+                 "--num_res_blocks 1 --resblock_updown True --use_fp16 False "
+                 "--use_scale_shift_norm True --use_new_attention_order False")
+    return str(p)
+
+
+def _opts(tmp_path, setup32, **over):
+    opts = load_config(args=dict(outdir=str(tmp_path / "out")))
+    opts.update(
+        openai_state_dict_path=str(tmp_path / "missing.pt"),
+        openai_setup_path=setup32, allow_random_init=True,
+        dataset_path=DATA, total_images=2, batch_size=2, num_steps=2,
+        conditioning_mechanism="dps", operator_name="inpainting",
+        noise_sigma=0.05, seeds=[0], mesh_shape="data:1", dtype="float32",
+        cg_maxiter=20, num_other_images_to_save=10, save_images=True,
+    )
+    opts.update(over)
+    return opts
+
+
+def test_config_round_trip():
+    opts = load_config(args=dict(outdir="/tmp/x", num_steps="30",
+                                 S_churn="0.5", seeds="1,2,3",
+                                 clip_x0_mean="true"))
+    assert opts.num_steps == 30 and isinstance(opts.num_steps, int)
+    assert opts.S_churn == 0.5
+    assert opts.seeds == [1, 2, 3]
+    assert opts.clip_x0_mean is True
+    params = get_job_name_params(dict(opts, conditioning_mechanism="online_covariance"))
+    assert params["op"] == opts.operator_name and "ibc" in params
+
+
+def test_evaluator_end_to_end(tmp_path, setup32):
+    from free_hunch_tpu.eval import Evaluator
+    opts = _opts(tmp_path, setup32)
+    results = Evaluator(opts).run()
+    out = str(tmp_path / "out")
+    imgs = sorted(os.listdir(os.path.join(out, "images")))
+    assert imgs == ["000000_000000.png", "000001_000000.png"]
+    assert os.path.exists(os.path.join(out, "cond_images", imgs[0]))
+    assert os.path.exists(os.path.join(out, "forward_images", imgs[0]))
+    txt = open(os.path.join(out, "results.txt")).read()
+    assert "PSNR:" in txt and "SSIM:" in txt and "LPIPS:" in txt
+    blob = json.load(open(os.path.join(out, "results.json")))
+    assert np.isfinite(blob["psnr"]) and blob["images"] == 2
+
+
+def test_evaluator_free_hunch_multidevice(tmp_path, setup32):
+    """Free Hunch over the full driver with an 8-way data mesh: 4 images x 2
+    seeds = 8 samples sharded over 8 virtual devices."""
+    from free_hunch_tpu.eval import Evaluator
+    opts = _opts(tmp_path, setup32,
+                 conditioning_mechanism="online_covariance",
+                 image_base_covariance="dct_diagonal_noinfo",
+                 operator_name="gaussian_blur", kernel_size=61,
+                 total_images=4, batch_size=4, seeds=[0, 1],
+                 mesh_shape="data:-1", cov_capacity=16,
+                 space_step_update_lower_threshold=0.01,
+                 space_step_update_threshold=100.0)
+    ev = Evaluator(opts)
+    assert ev.mesh.devices.size == 8
+    results = ev.run()
+    assert np.isfinite(results["psnr"])
+    out = str(tmp_path / "out")
+    assert len(os.listdir(os.path.join(out, "images"))) == 8
+
+
+def test_cli_entry(tmp_path, setup32, monkeypatch):
+    import generate_conditional as gc
+    argv = [f"--outdir={tmp_path/'out'}",
+            f"--openai_setup_path={setup32}",
+            f"--openai_state_dict_path={tmp_path/'missing.pt'}",
+            "--allow_random_init=true", f"--dataset_path={DATA}",
+            "--total_images=1", "--batch_size=1", "--num_steps=2",
+            "--conditioning_mechanism=dps", "--operator_name=inpainting",
+            "--mesh_shape=data:1", "--dtype=float32", "--cg_maxiter=10",
+            "--seeds=0"]
+    results = gc.cmdline(argv)
+    assert np.isfinite(results["psnr"])
+    assert os.path.exists(os.path.join(str(tmp_path / "out"), "output.log"))
