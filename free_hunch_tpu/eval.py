@@ -130,6 +130,13 @@ class Evaluator:
                                          mask_key=jax.random.PRNGKey(0))
 
         mech_name = opts.get("conditioning_mechanism", "dps")
+        if mech_name == "ddnm":
+            # the DDNM+ path has no conditioning mechanism; the subclass
+            # (eval_ddnm.DDNMEvaluator) installs its own batch function
+            self._mech_builder = None
+            self._run_batch = jax.jit(self._batch_fn)
+            self._lpips = lpips_fn("vgg")
+            return
         mech_cls = choose_conditioning_mechanism(mech_name)
         mkw = dict(cond_scaling=opts.get("cond_scaling", 1.0),
                    clip_x0_mean=bool(opts.get("clip_x0_mean", False)),

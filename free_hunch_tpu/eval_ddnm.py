@@ -1,0 +1,60 @@
+"""DDNM+ evaluation driver (the reference's entry point B).
+
+Parity: ``generate_conditional.py:487-494`` routes
+``--conditioning_mechanism=ddnm`` to the SVD sampler with doubled steps; this
+module plugs the DDNM+ scan into the shared evaluation loop. The raw
+epsilon-prediction UNet is driven directly on the DDPM index grid (variance
+channel stripped), bypassing the preconditioner as upstream does.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from free_hunch_tpu.eval import Evaluator
+from free_hunch_tpu.samplers.ddnm import build_svd_operator, ddnm_sample
+
+
+@dataclasses.dataclass
+class DDNMEvaluator(Evaluator):
+    def __post_init__(self):
+        self.opts = dict(self.opts, conditioning_mechanism="ddnm")
+        super().__post_init__()
+        self.num_steps = int(self.opts.get("num_steps", 100))
+        self.sigma_y = float(self.opts.get("noise_sigma", 0.0))
+        self.eta = float(self.opts.get("eta", 1.0))
+        self._svd_template = None
+        if not self.is_inpainting:
+            self._svd_template = build_svd_operator(
+                self.operator_kwargs, self.res)
+
+    def _batch_fn(self, params, noise, cond_latents, operator, key):
+        b = noise.shape[0]
+
+        def eps_fn(x, t):
+            out = self.model.apply(params, x, t)
+            return out[:, :3]  # strip the learned-variance channel (ref :107)
+
+        y = operator.A(cond_latents.reshape(b, -1))
+        y = y + self.sigma_y * jax.random.normal(jax.random.fold_in(key, 0),
+                                                 y.shape, y.dtype)
+        x, _ = ddnm_sample(eps_fn, operator, noise, y,
+                           num_steps=self.num_steps, sigma_y=self.sigma_y,
+                           eta=self.eta, rng_key=jax.random.fold_in(key, 1))
+        # measurement image for the forward_images/ output directory
+        if self.operator_kwargs["name"] == "inpainting":
+            y_img = operator.A_with_zeros(cond_latents.reshape(b, -1)).reshape(
+                cond_latents.shape)
+        else:
+            y_img = operator.At(y).reshape(cond_latents.shape)
+        return x, y_img
+
+    def _make_operator(self, batch_keys):
+        if self._svd_template is not None:
+            return self._svd_template
+        # fresh random mask per batch image; all seed replicas of the batch
+        # share one mask set, matching the per-image reference behaviour
+        return build_svd_operator(self.operator_kwargs, self.res,
+                                  mask_key=batch_keys[0])

@@ -59,6 +59,7 @@ class IDDPMLinearPrecond:
 
     def __post_init__(self):
         u = _linear_sigma_grid(self.beta_min, self.beta_max, self.M)
+        object.__setattr__(self, "_u_np", np.asarray(u, np.float32))
         object.__setattr__(self, "u", jnp.asarray(u, jnp.float32))
         object.__setattr__(self, "sigma_min", float(u[self.M - 1]))
         object.__setattr__(self, "sigma_max", float(u[0]))
@@ -78,7 +79,16 @@ class IDDPMLinearPrecond:
                            jnp.asarray(np.nan_to_num(posterior_mean_coef1), jnp.float32))
 
     def round_sigma(self, sigma, return_index: bool = False):
-        """Snap sigma to the nearest grid value (reference :203-207)."""
+        """Snap sigma to the nearest grid value (reference :203-207).
+
+        numpy/python inputs are handled entirely on the host (the sampler's
+        schedule precomputation must not touch the device); traced jax inputs
+        use the device grid."""
+        if not isinstance(sigma, jax.core.Tracer) and not isinstance(sigma, jax.Array):
+            s = np.asarray(sigma, np.float32)
+            u = self._u_np
+            idx = np.argmin(np.abs(s.reshape(-1)[:, None] - u[None, :]), axis=1)
+            return (idx if return_index else u[idx]).reshape(np.shape(sigma))
         sigma = jnp.asarray(sigma, jnp.float32)
         idx = jnp.argmin(jnp.abs(sigma.reshape(-1)[:, None] - self.u[None, :]), axis=1)
         if return_index:
@@ -125,11 +135,16 @@ class IDDPMCosinePrecond:
 
     def __post_init__(self):
         u = _cosine_sigma_grid(self.C_1, self.C_2, self.M)
+        object.__setattr__(self, "_u_np", np.asarray(u, np.float32))
         object.__setattr__(self, "u", jnp.asarray(u, jnp.float32))
         object.__setattr__(self, "sigma_min", float(u[self.M - 1]))
         object.__setattr__(self, "sigma_max", float(u[0]))
 
     def round_sigma(self, sigma, return_index: bool = False):
+        if not isinstance(sigma, jax.core.Tracer) and not isinstance(sigma, jax.Array):
+            s = np.asarray(sigma, np.float32)
+            idx = np.argmin(np.abs(s.reshape(-1)[:, None] - self._u_np[None, :]), axis=1)
+            return (idx if return_index else self._u_np[idx]).reshape(np.shape(sigma))
         sigma = jnp.asarray(sigma, jnp.float32)
         idx = jnp.argmin(jnp.abs(sigma.reshape(-1)[:, None] - self.u[None, :]), axis=1)
         if return_index:
