@@ -43,7 +43,6 @@ def main():
         "models/256x256_diffusion_uncond_setup.txt",
         dtype=jnp.bfloat16, init_random_if_missing=True)
     precond = wrap_precond(model, model_args, "linear")
-    denoise = lambda x, s: precond.apply(params, x, s)
 
     op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),
                       sigma_s=0.1, kernel_size=61, intensity=3.0)
@@ -60,7 +59,8 @@ def main():
         discretization="edm", schedule="linear", scaling="none")
 
     @jax.jit
-    def run(noise, y, key):
+    def run(params_, noise, y, key):
+        denoise = lambda x, s: precond.apply(params_, x, s)
         x, _ = sample_scan(denoise, mech, noise, y, xs, key,
                            sigma0_scaled=sigma0_scaled)
         return x
@@ -73,13 +73,13 @@ def main():
 
     log("compiling + warmup run...")
     t0 = time.time()
-    run(noise, y, jax.random.fold_in(key, 3)).block_until_ready()
+    run(params, noise, y, jax.random.fold_in(key, 3)).block_until_ready()
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     times = []
     for i in range(iters):
         t0 = time.time()
-        run(noise, y, jax.random.fold_in(key, 10 + i)).block_until_ready()
+        run(params, noise, y, jax.random.fold_in(key, 10 + i)).block_until_ready()
         times.append(time.time() - t0)
         log(f"iter {i}: {times[-1]:.2f}s")
 
