@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from free_hunch_tpu.ops import lowrank
@@ -120,13 +121,22 @@ def space_update(cov: LowRank, sigma, x: jnp.ndarray, x_next: jnp.ndarray,
     tiny = jnp.finfo(dtype).tiny
     dxsv = jnp.sum(dx * sv)
     dxde = jnp.sum(dx * de)
-    c_neg = -1.0 / jnp.where(jnp.abs(dxsv) > tiny, dxsv, jnp.inf)
-    gamma = 1.0 / jnp.where(jnp.abs(dxde) > tiny, dxde, jnp.inf)
+    # Curvature guard (robustness addition over the reference, which appends
+    # unconditionally :261-284): the BFGS update is only applied when the
+    # secant curvature dx.de and the current quadratic form dx.S.dx are
+    # positive; otherwise the pair is noise-dominated and would make Sigma_0
+    # indefinite. Skipping such pairs is the standard BFGS rule.
+    valid = jnp.logical_and(dxde > tiny, dxsv > tiny)
+    c_neg = jnp.where(valid, -1.0 / jnp.where(valid, dxsv, 1.0), 0.0)
+    gamma = jnp.where(valid, 1.0 / jnp.where(valid, dxde, 1.0), 0.0)
     if params.project_to_diagonal:
         # Reference :274-277: fold the rank-2 update into the diagonal.
         new_diag = cov.diag + gamma * de * de + c_neg * sv * sv
         return cov._replace(diag=new_diag)
-    return lowrank.append_pair(cov, sv, c_neg, de, gamma)
+    return jax.lax.cond(
+        valid,
+        lambda c: lowrank.append_pair(c, sv, c_neg, de, gamma),
+        lambda c: c, cov)
 
 
 # ---------------------------------------------------------------------------

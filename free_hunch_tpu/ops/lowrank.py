@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -102,29 +103,53 @@ def dense(rep: LowRank) -> jnp.ndarray:
     return jnp.diag(rep.diag) + rep.U @ rep.M @ rep.U.T
 
 
-def _evict_two(rep: LowRank) -> LowRank:
-    """Drop the two oldest columns (ring shift) to make room for an append.
+def compress(rep: LowRank, target_rank: int) -> LowRank:
+    """Optimal rank truncation of the low-rank part: keep the ``target_rank``
+    eigen-directions of U M U^T with the largest |eigenvalue|.
 
-    Matches the reference's ``drop_vectors`` keep-the-most-recent semantics
-    (``online_update_bfgs.py:233-245``) with static shapes.
+    Replaces the reference's ``drop_vectors`` keep-the-most-recent heuristic
+    (``online_update_bfgs.py:233-245``) with the best rank-r approximation:
+    with G = U^T U = L L^T (Cholesky), U M U^T = W (L^T M L)... more precisely
+    eigendecomposing H = L^T M L = Q Lam Q^T gives U M U^T = W Lam W^T with
+    exactly orthonormal W = U L^-T Q, so truncating Lam is optimal in any
+    unitarily-invariant norm. All dense work is K x K; the only d-sized op is
+    one (d,K) x (K,K) matmul. Inactive (zero) columns sort to |lam| ~ 0 and
+    fall out naturally.
     """
     K = rep.capacity
-    U = jnp.roll(rep.U, -2, axis=1).at[:, K - 2:].set(0.0)
-    M = jnp.roll(rep.M, (-2, -2), axis=(0, 1))
-    # Reset the vacated rows/cols to the identity pattern.
-    M = M.at[K - 2:, :].set(0.0).at[:, K - 2:].set(0.0)
-    M = M.at[K - 2, K - 2].set(1.0).at[K - 1, K - 1].set(1.0)
-    return LowRank(diag=rep.diag, U=U, M=M, k=rep.k - 2)
+    dtype = rep.diag.dtype
+    G = _sym(rep.U.T @ rep.U)
+    jitter = (jnp.trace(G) / K) * 1e-7 + jnp.asarray(1e-30, dtype)
+    L = jnp.linalg.cholesky(G + jitter * jnp.eye(K, dtype=dtype))
+    H = _sym(L.T @ rep.M @ L)
+    lam, Q = jnp.linalg.eigh(H)
+    # W = U L^-T Q, orthonormal columns
+    W = jax.scipy.linalg.solve_triangular(L, rep.U.T, lower=True)
+    W = (Q.T @ W).T
+    # order by |eigenvalue| descending; keep at most target_rank, and drop
+    # negligible ones outright (their 1/lambda would poison later Woodbury
+    # solves)
+    order = jnp.argsort(-jnp.abs(lam))
+    lam_sorted = lam[order]
+    W_sorted = W[:, order]
+    strong = jnp.abs(lam_sorted) > 1e-6 * jnp.abs(lam_sorted[0]) + jnp.finfo(dtype).tiny
+    col_mask = jnp.logical_and(jnp.arange(K) < target_rank, strong)
+    k_new = jnp.sum(col_mask).astype(jnp.int32)
+    U_new = jnp.where(col_mask[None, :], W_sorted, 0.0)
+    M_new = jnp.diag(jnp.where(col_mask, lam_sorted, 1.0))
+    return LowRank(diag=rep.diag, U=U_new.astype(dtype), M=M_new.astype(dtype),
+                   k=k_new)
 
 
 def append_pair(rep: LowRank, col_a: jnp.ndarray, w_a, col_b: jnp.ndarray, w_b) -> LowRank:
     """Representation of (A + w_a a a^T + w_b b b^T).
 
     Columns are unit-normalised (norms absorbed into the inner weights) for
-    conditioning. If capacity would overflow, the two oldest columns are
-    evicted first.
+    conditioning. If capacity would overflow, the low-rank part is first
+    compressed to the best (capacity-2)-rank approximation (see ``compress``).
     """
-    rep = lax.cond(rep.k + 2 > rep.capacity, _evict_two, lambda r: r, rep)
+    rep = lax.cond(rep.k + 2 > rep.capacity,
+                   lambda r: compress(r, r.capacity - 2), lambda r: r, rep)
     k = rep.k
 
     def norm_absorb(col, w):

@@ -69,21 +69,42 @@ def test_append_pair_matches_dense():
     assert int(out.k) == 4
 
 
-def test_append_pair_evicts_oldest_at_capacity():
+def test_compress_is_optimal_rank_truncation():
+    d, K = 10, 6
+    diag = jnp.ones((d,), jnp.float64) * 0.7
+    rep = lowrank.init(diag, K)
+    cols = jax.random.normal(jax.random.PRNGKey(8), (4, d), jnp.float64)
+    rep = lowrank.append_pair(rep, cols[0], 1.0, cols[1], -1.0)
+    rep = lowrank.append_pair(rep, cols[2], 0.5, cols[3], -0.5)
+    lowrank_part = np.asarray(lowrank.dense(rep)) - np.diag(np.asarray(rep.diag))
+    out = lowrank.compress(rep, 2)
+    assert int(out.k) == 2
+    # oracle: eigendecomposition truncation of the low-rank part
+    evals, evecs = np.linalg.eigh(lowrank_part)
+    top = np.argsort(-np.abs(evals))[:2]
+    best = (evecs[:, top] * evals[top]) @ evecs[:, top].T
+    np.testing.assert_allclose(np.asarray(lowrank.dense(out)) - np.diag(np.asarray(out.diag)),
+                               best, rtol=1e-6, atol=1e-8)
+
+
+def test_append_pair_compresses_at_capacity():
     d, K = 10, 4
     diag = jnp.ones((d,), jnp.float64)
     rep = lowrank.init(diag, K)
-    cols = jax.random.normal(jax.random.PRNGKey(8), (6, d), jnp.float64)
+    cols = jax.random.normal(jax.random.PRNGKey(9), (6, d), jnp.float64)
     rep = lowrank.append_pair(rep, cols[0], 1.0, cols[1], -1.0)
     rep = lowrank.append_pair(rep, cols[2], 0.5, cols[3], -0.5)
-    assert int(rep.k) == 4
-    # next append must evict cols[0..1]
-    rep = lowrank.append_pair(rep, cols[4], 2.0, cols[5], -2.0)
-    assert int(rep.k) == 4
-    expect = (np.eye(d)
-              + 0.5 * np.outer(cols[2], cols[2]) - 0.5 * np.outer(cols[3], cols[3])
-              + 2.0 * np.outer(cols[4], cols[4]) - 2.0 * np.outer(cols[5], cols[5]))
-    np.testing.assert_allclose(lowrank.dense(rep), expect, rtol=1e-9, atol=1e-10)
+    dense_before = np.asarray(lowrank.dense(rep))
+    rep2 = lowrank.append_pair(rep, cols[4], 2.0, cols[5], -2.0)
+    assert int(rep2.k) == 4
+    # the result is (best rank-2 approx of the old low-rank part) + new pair
+    lr = dense_before - np.eye(d)
+    evals, evecs = np.linalg.eigh(lr)
+    top = np.argsort(-np.abs(evals))[:2]
+    best = (evecs[:, top] * evals[top]) @ evecs[:, top].T
+    expect = (np.eye(d) + best + 2.0 * np.outer(cols[4], cols[4])
+              - 2.0 * np.outer(cols[5], cols[5]))
+    np.testing.assert_allclose(lowrank.dense(rep2), expect, rtol=1e-5, atol=1e-6)
 
 
 def test_ops_are_jittable_and_vmappable():
