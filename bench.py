@@ -25,6 +25,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compilation cache: later runs skip the big compile
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     from free_hunch_tpu.guidance import choose_conditioning_mechanism
     from free_hunch_tpu.models.loading import load_model, wrap_precond
     from free_hunch_tpu.operators import get_operator

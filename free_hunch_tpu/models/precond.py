@@ -60,7 +60,7 @@ class IDDPMLinearPrecond:
     def __post_init__(self):
         u = _linear_sigma_grid(self.beta_min, self.beta_max, self.M)
         object.__setattr__(self, "_u_np", np.asarray(u, np.float32))
-        object.__setattr__(self, "u", jnp.asarray(u, jnp.float32))
+        object.__setattr__(self, "u", np.asarray(u, np.float32))
         object.__setattr__(self, "sigma_min", float(u[self.M - 1]))
         object.__setattr__(self, "sigma_max", float(u[0]))
         # posterior q(x_{t-1} | x_t, x_0) coefficients on the (M+1)-grid,
@@ -73,10 +73,11 @@ class IDDPMLinearPrecond:
             posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
             posterior_mean_coef1 = (betas * np.sqrt(alphas_cumprod_prev)
                                     / (1.0 - alphas_cumprod))
+        # host-numpy tables: embedded as constants at trace time
         object.__setattr__(self, "posterior_variance",
-                           jnp.asarray(np.nan_to_num(posterior_variance), jnp.float32))
+                           np.nan_to_num(posterior_variance).astype(np.float32))
         object.__setattr__(self, "posterior_mean_coef1",
-                           jnp.asarray(np.nan_to_num(posterior_mean_coef1), jnp.float32))
+                           np.nan_to_num(posterior_mean_coef1).astype(np.float32))
 
     def round_sigma(self, sigma, return_index: bool = False):
         """Snap sigma to the nearest grid value (reference :203-207).
@@ -90,10 +91,11 @@ class IDDPMLinearPrecond:
             idx = np.argmin(np.abs(s.reshape(-1)[:, None] - u[None, :]), axis=1)
             return (idx if return_index else u[idx]).reshape(np.shape(sigma))
         sigma = jnp.asarray(sigma, jnp.float32)
-        idx = jnp.argmin(jnp.abs(sigma.reshape(-1)[:, None] - self.u[None, :]), axis=1)
+        u = jnp.asarray(self.u)
+        idx = jnp.argmin(jnp.abs(sigma.reshape(-1)[:, None] - u[None, :]), axis=1)
         if return_index:
             return idx.reshape(jnp.shape(sigma))
-        return self.u[idx].reshape(jnp.shape(sigma))
+        return u[idx].reshape(jnp.shape(sigma))
 
     def apply(self, params, x: jnp.ndarray, sigma, y: Optional[jnp.ndarray] = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -111,8 +113,8 @@ class IDDPMLinearPrecond:
 
         # learned-sigma channel -> x0 posterior variance, Peng et al. Eq. 22.
         t = c_noise.astype(jnp.int32)
-        pv = self.posterior_variance[t][:, None, None, None]
-        pm1 = self.posterior_mean_coef1[t][:, None, None, None]
+        pv = jnp.asarray(self.posterior_variance)[t][:, None, None, None]
+        pm1 = jnp.asarray(self.posterior_mean_coef1)[t][:, None, None, None]
         x0_var = jnp.clip((v - pv) / jnp.square(pm1), min=1e-6)
 
         D_x = x + c_out[:, None, None, None] * F_x.astype(jnp.float32)
@@ -136,7 +138,7 @@ class IDDPMCosinePrecond:
     def __post_init__(self):
         u = _cosine_sigma_grid(self.C_1, self.C_2, self.M)
         object.__setattr__(self, "_u_np", np.asarray(u, np.float32))
-        object.__setattr__(self, "u", jnp.asarray(u, jnp.float32))
+        object.__setattr__(self, "u", np.asarray(u, np.float32))
         object.__setattr__(self, "sigma_min", float(u[self.M - 1]))
         object.__setattr__(self, "sigma_max", float(u[0]))
 
@@ -146,10 +148,11 @@ class IDDPMCosinePrecond:
             idx = np.argmin(np.abs(s.reshape(-1)[:, None] - self._u_np[None, :]), axis=1)
             return (idx if return_index else self._u_np[idx]).reshape(np.shape(sigma))
         sigma = jnp.asarray(sigma, jnp.float32)
-        idx = jnp.argmin(jnp.abs(sigma.reshape(-1)[:, None] - self.u[None, :]), axis=1)
+        u = jnp.asarray(self.u)
+        idx = jnp.argmin(jnp.abs(sigma.reshape(-1)[:, None] - u[None, :]), axis=1)
         if return_index:
             return idx.reshape(jnp.shape(sigma))
-        return self.u[idx].reshape(jnp.shape(sigma))
+        return u[idx].reshape(jnp.shape(sigma))
 
     def apply(self, params, x: jnp.ndarray, sigma, y: Optional[jnp.ndarray] = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:

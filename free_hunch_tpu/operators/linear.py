@@ -27,7 +27,8 @@ import numpy as np
 
 from free_hunch_tpu.operators import assets, masks
 from free_hunch_tpu.operators.resize import build_resizer
-from free_hunch_tpu.ops.fftops import downsample, fft_conv, p2o, pre_calculate, upsample
+from free_hunch_tpu.ops.fftops import (downsample, fft_conv, p2o, p2o_np,
+                                       pre_calculate, upsample)
 
 __OPERATOR__ = {}
 
@@ -142,14 +143,14 @@ class _FFTBlurOperator(LinearOperator):
         self.in_shape = tuple(in_shape)
         self.out_shape = tuple(in_shape)
         h, w = in_shape[-2:]
-        self.kernel = jnp.asarray(kernel, jnp.float32)
-        k = self.kernel.reshape(1, 1, *kernel.shape)
-        FB = p2o(k.astype(jnp.complex64), (h, w))
-        self.FB, self.FBC = FB, jnp.conj(FB)
-        self.F2B = jnp.abs(FB) ** 2
+        # host-numpy constants (embedded at trace time, never read back)
+        self.kernel = np.asarray(kernel, np.float32)
+        FB = p2o_np(self.kernel.reshape(1, 1, *self.kernel.shape), (h, w))
+        self.FB, self.FBC = FB, np.conj(FB)
+        self.F2B = (np.abs(FB) ** 2).astype(np.float32)
 
     def get_kernel(self):
-        return self.kernel.reshape(1, 1, *self.kernel.shape)
+        return jnp.asarray(self.kernel).reshape(1, 1, *self.kernel.shape)
 
     @property
     def pre_calculated(self):
@@ -206,12 +207,12 @@ class SuperResolutionOperator(LinearOperator):
         self._down = build_resizer((h, w), 1.0 / self.scale_factor)
         self._up_adjoint_h = self._down.matrices[0].T
         self._up_adjoint_w = self._down.matrices[1].T
-        # FFT surrogate used by the guidance solvers (blur-then-sample form).
+        # FFT surrogate used by the guidance solvers (blur-then-sample form);
+        # host-numpy constants
         k = assets.bicubic_sr_kernel(self.scale_factor).astype(np.float32)
-        kj = jnp.asarray(k).reshape(1, 1, *k.shape)
-        FB = p2o(kj.astype(jnp.complex64), (h, w))
-        self.FB, self.FBC = FB, jnp.conj(FB)
-        self.F2B = jnp.abs(FB) ** 2
+        FB = p2o_np(k.reshape(1, 1, *k.shape), (h, w))
+        self.FB, self.FBC = FB, np.conj(FB)
+        self.F2B = (np.abs(FB) ** 2).astype(np.float32)
 
     @property
     def pre_calculated(self):

@@ -86,8 +86,9 @@ def build_resizer(in_hw, scale_factor: float, kernel: str = "cubic",
     """Return f(x) resizing the last two axes of x by ``scale_factor``."""
     h, w = in_hw
     oh, ow = int(np.ceil(h * scale_factor)), int(np.ceil(w * scale_factor))
-    Rh = jnp.asarray(resize_matrix(h, oh, float(scale_factor), kernel, antialiasing), dtype)
-    Rw = jnp.asarray(resize_matrix(w, ow, float(scale_factor), kernel, antialiasing), dtype)
+    # host-numpy constants: embedded at trace time without device readback
+    Rh = resize_matrix(h, oh, float(scale_factor), kernel, antialiasing).astype(dtype)
+    Rw = resize_matrix(w, ow, float(scale_factor), kernel, antialiasing).astype(dtype)
 
     def apply(x: jnp.ndarray) -> jnp.ndarray:
         y = jnp.einsum("oh,...hw->...ow", Rh, x.astype(dtype))

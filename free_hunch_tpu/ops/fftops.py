@@ -10,6 +10,25 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def p2o_np(psf, shape):
+    """Host-numpy twin of ``p2o`` for operator setup: OTF constants are
+    computed on the host so jitted samplers embed them without any
+    device->host readback (remote TPU backends may not support those)."""
+    import numpy as _np
+    psf = _np.asarray(psf)
+    h, w = psf.shape[-2], psf.shape[-1]
+    H, W = shape
+    if h > H or w > W:
+        ch, cw = min(h, H), min(w, W)
+        psf = psf[..., (h - ch) // 2:(h - ch) // 2 + ch,
+                  (w - cw) // 2:(w - cw) // 2 + cw]
+        h, w = ch, cw
+    otf = _np.zeros(psf.shape[:-2] + tuple(shape), _np.complex64)
+    otf[..., :h, :w] = psf
+    otf = _np.roll(otf, (-(h // 2), -(w // 2)), axis=(-2, -1))
+    return _np.fft.fftn(otf, axes=(-2, -1)).astype(_np.complex64)
+
+
 def p2o(psf: jnp.ndarray, shape) -> jnp.ndarray:
     """Point-spread function -> optical transfer function.
 

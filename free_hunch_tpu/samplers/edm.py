@@ -169,14 +169,18 @@ def prepare_schedule(
     c1 = np.where(use_heun, np.nan_to_num(c1), 0.0)
     c2 = np.where(use_heun, np.nan_to_num(c2), 0.0)
 
+    # All per-step arrays stay HOST numpy: they become embedded constants at
+    # trace time. (Creating them eagerly on device would require a
+    # device->host readback at lowering, which remote TPU backends may not
+    # support, and would add pointless transfers.)
     xs = dict(
-        sigma_hat=jnp.asarray(sigma_hat, jnp.float32),
-        churn_std=jnp.asarray(churn_std, jnp.float32),
-        scale_ratio=jnp.asarray(scale_ratio, jnp.float32),
-        h=jnp.asarray(h, jnp.float32),
-        sigma_prime=jnp.asarray(sigma_prime, jnp.float32),
-        c1=jnp.asarray(c1, jnp.float32), c2=jnp.asarray(c2, jnp.float32),
-        use_heun=jnp.asarray(use_heun),
+        sigma_hat=np.asarray(sigma_hat, np.float32),
+        churn_std=np.asarray(churn_std, np.float32),
+        scale_ratio=np.asarray(scale_ratio, np.float32),
+        h=np.asarray(h, np.float32),
+        sigma_prime=np.asarray(sigma_prime, np.float32),
+        c1=np.asarray(c1, np.float32), c2=np.asarray(c2, np.float32),
+        use_heun=use_heun,  # host bool array: the step structure is static
     )
     sigma0_scaled = float(sch.sigma(t_steps[0]) * sch.s(t_steps[0]))
     return xs, sigma0_scaled
@@ -186,38 +190,71 @@ def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray
                 xs: dict, rng_key, *, sigma0_scaled: float, alpha: float = 1.0,
                 return_trajectory: bool = False):
     """The pure jittable sampling loop: one ``lax.scan`` over the schedule.
-    ``noise`` is standard normal; churn noise keys derive from ``rng_key``."""
-    num_steps = xs["sigma_hat"].shape[0]
+
+    The Heun/Euler step structure is static (host booleans), so the scan body
+    contains NO lax.cond between solver orders: identical consecutive steps
+    are scanned with one traced body, and trailing steps with a different
+    structure (the final Euler step of a Heun run) are peeled out and applied
+    inline. This halves the traced graph vs a cond-in-body formulation — the
+    guidance mechanism (UNet + vjp + CG) appears once per structure instead
+    of twice per step.
+    """
+    use_heun = np.asarray(xs["use_heun"], bool)
+    num_steps = use_heun.shape[0]
     step_keys = jax.random.split(rng_key, num_steps)
     gstate0 = mechanism.init_state(noise.shape[0], noise.shape[1:])
     x0_init = noise.astype(jnp.float32) * sigma0_scaled
 
-    def body(carry, step):
-        x, gstate = carry
-        eps = jax.random.normal(step["step_key"], x.shape, x.dtype)
-        x_hat = step["scale_ratio"] * x + step["churn_std"] * eps
+    def make_body(heun: bool):
+        def body(carry, step):
+            x, gstate = carry
+            eps = jax.random.normal(step["step_key"], x.shape, x.dtype)
+            x_hat = step["scale_ratio"] * x + step["churn_std"] * eps
 
-        denoised, gstate = mechanism(denoise, x_hat, y, step["sigma_hat"], gstate)
-        d_cur = (x_hat - denoised) / step["sigma_hat"]
-        x_prime = x_hat + alpha * step["h"] * d_cur
+            denoised, gstate = mechanism(denoise, x_hat, y, step["sigma_hat"],
+                                         gstate)
+            d_cur = (x_hat - denoised) / step["sigma_hat"]
+            if heun:
+                x_prime = x_hat + alpha * step["h"] * d_cur
+                denoised2, gstate = mechanism(denoise, x_prime, y,
+                                              step["sigma_prime"], gstate)
+                d_prime = step["c1"] * x_prime - step["c2"] * denoised2
+                x_next = x_hat + step["h"] * ((1 - 1 / (2 * alpha)) * d_cur
+                                              + 1 / (2 * alpha) * d_prime)
+            else:
+                x_next = x_hat + step["h"] * d_cur
+            out = x_next if return_trajectory else None
+            return (x_next, gstate), out
 
-        def heun(gs):
-            denoised2, gs2 = mechanism(denoise, x_prime, y, step["sigma_prime"], gs)
-            d_prime = step["c1"] * x_prime - step["c2"] * denoised2
-            x_next = x_hat + step["h"] * ((1 - 1 / (2 * alpha)) * d_cur
-                                          + 1 / (2 * alpha) * d_prime)
-            return x_next, gs2
+        return body
 
-        def euler(gs):
-            return x_hat + step["h"] * d_cur, gs
+    # segment the schedule into runs of identical step structure
+    arrays = {k: v for k, v in xs.items() if k != "use_heun"}
+    arrays["step_key"] = step_keys
+    carry = (x0_init, gstate0)
+    trajs = []
+    start = 0
+    while start < num_steps:
+        end = start
+        while end < num_steps and use_heun[end] == use_heun[start]:
+            end += 1
+        seg = {k: v[start:end] for k, v in arrays.items()}
+        body = make_body(bool(use_heun[start]))
+        if end - start == 1:  # peeled single step: no scan wrapper needed
+            carry, out = body(carry, {k: v[0] for k, v in seg.items()})
+            if return_trajectory:
+                trajs.append(out[None] if out is not None else None)
+        else:
+            carry, out = jax.lax.scan(body, carry, seg)
+            if return_trajectory:
+                trajs.append(out)
+        start = end
 
-        x_next, gstate = jax.lax.cond(step["use_heun"], heun, euler, gstate)
-        out = x_next if return_trajectory else None
-        return (x_next, gstate), out
-
-    scan_xs = dict(xs, step_key=step_keys)
-    (x_final, _), traj = jax.lax.scan(body, (x0_init, gstate0), scan_xs)
-    return x_final, (traj if return_trajectory else [x0_init])
+    x_final = carry[0]
+    if return_trajectory:
+        traj = jnp.concatenate([t for t in trajs if t is not None], axis=0)
+        return x_final, traj
+    return x_final, [x0_init]
 
 
 def conditional_sampler(

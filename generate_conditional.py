@@ -21,6 +21,14 @@ def cmdline(argv=None):
     opts = load_config(argv=argv)
     os.makedirs(opts.outdir, exist_ok=True)
 
+    try:  # persistent compilation cache across runs
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     if not opts.get("conditional", True):
         raise SystemExit("unconditional generation is not part of this pipeline")
     if opts.get("net") is None and opts.get("openai_state_dict_path") is None:

@@ -200,3 +200,35 @@ def test_mesh_helpers():
     x = jnp.arange(16.0).reshape(16, 1)
     xs = shard_batch(x, mesh)
     assert float(all_reduce_mean(xs)) == float(np.mean(np.arange(16)))
+
+
+def test_persistence_roundtrip():
+    from free_hunch_tpu.utils import persistence as P
+
+    @P.persistent_class
+    class Thing:
+        def __init__(self, a, b=2):
+            self.a = a
+            self.b = b
+            self.derived = a * b
+
+    t = Thing(3, b=4)
+    data = P.dumps(t)
+    t2 = P.loads(data)
+    assert (t2.a, t2.b, t2.derived) == (3, 4, 12)
+    assert P.is_persistent(t)
+
+
+def test_phase_timer_and_annotate():
+    import jax.numpy as jnp
+    from free_hunch_tpu.utils.profiling import PhaseTimer, annotate
+
+    pt = PhaseTimer()
+    out = pt.measure("matmul", lambda: jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+    assert out.shape == (64, 64)
+    with pt.phase("sleepy"):
+        pass
+    s = pt.summary()
+    assert "matmul" in s and "sleepy" in s
+    with annotate("region"):
+        pass
