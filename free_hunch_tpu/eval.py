@@ -148,7 +148,8 @@ class Evaluator:
             if k in opts:
                 mkw[k] = opts[k]
         if mech_name == "online_covariance":
-            mkw.update(init_denoiser_variance=1.0,
+            mkw.update(transport_mean_bound=1.0,
+                       init_denoiser_variance=1.0,
                        init_noise_variance=float(self.sigma0_scaled) ** 2,
                        data_dim=3 * self.res * self.res,
                        cov_capacity=int(opts.get("cov_capacity", 128)),

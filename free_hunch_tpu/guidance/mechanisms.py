@@ -265,6 +265,13 @@ class FreeHunch(ConditioningMechanism):
     solver_type: str = "customcuda"
     data_dir: Optional[str] = None
     dataset: str = "imagenet"
+    # Bound on the analytically-transported denoiser mean (robustness knob):
+    # the transport H' H^-1 can blow up when the estimated Sigma_0 approaches
+    # sigma^2 I (H singular). A real image denoiser clamps its outputs to
+    # [-1, 1], so bounding the transported surrogate to the same range is
+    # consistent; the reference leaves it unbounded (a clip at :245 is
+    # commented out upstream). None = reference behaviour.
+    transport_mean_bound: Optional[float] = None
 
     # -- basis --------------------------------------------------------------
 
@@ -340,6 +347,10 @@ class FreeHunch(ConditioningMechanism):
                 mean_t, _ = jax.vmap(cov_mod.transport_score,
                                      in_axes=(0, 0, None, None, 0, 0))(
                     state.cov, cov2, state.prev_sigma, sigma, prev_x_b, score_prev)
+                if self.transport_mean_bound is not None:
+                    b = float(self.transport_mean_bound)
+                    mean_img = self._from_basis(mean_t, img_shape)
+                    mean_t = self._to_basis(jnp.clip(mean_img, -b, b))
                 return cov2, mean_t
 
             def no_time(_):

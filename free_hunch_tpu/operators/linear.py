@@ -101,7 +101,7 @@ class DenoiseOperator(LinearOperator):
     """Identity operator (pure denoising)."""
 
     def __init__(self, sigma_s=0.0, in_shape=(1, 3, 256, 256), **kwargs):
-        self.sigma_s = jnp.asarray(sigma_s, jnp.float32)
+        self.sigma_s = np.float32(sigma_s)
         self.in_shape = in_shape
         self.out_shape = in_shape
 
@@ -123,7 +123,7 @@ class ColorizationOperator(LinearOperator):
     """Channel mean: y = mean_c(x)."""
 
     def __init__(self, sigma_s=0.0, in_shape=(1, 3, 256, 256), **kwargs):
-        self.sigma_s = jnp.asarray(sigma_s, jnp.float32)
+        self.sigma_s = np.float32(sigma_s)
         self.in_shape = in_shape
         self.out_shape = (in_shape[0], 1) + tuple(in_shape[2:])
 
@@ -174,7 +174,7 @@ class GaussianBlurOperator(_FFTBlurOperator):
     def __init__(self, kernel_size=61, intensity=3.0, sigma_s=0.0,
                  in_shape=(1, 3, 256, 256), kernel=None, **kwargs):
         self.kernel_size = kernel_size
-        self.sigma_s = jnp.asarray(sigma_s, jnp.float32)
+        self.sigma_s = np.float32(sigma_s)
         k = assets.gaussian_blur_kernel() if kernel is None else kernel
         self._init_kernel(np.asarray(k, np.float32), in_shape)
 
@@ -187,7 +187,7 @@ class MotionBlurOperator(_FFTBlurOperator):
     def __init__(self, kernel_size=61, intensity=0.5, sigma_s=0.0,
                  in_shape=(1, 3, 256, 256), kernel=None, **kwargs):
         self.kernel_size = kernel_size
-        self.sigma_s = jnp.asarray(sigma_s, jnp.float32)
+        self.sigma_s = np.float32(sigma_s)
         k = assets.motion_blur_kernel() if kernel is None else kernel
         self._init_kernel(np.asarray(k, np.float32), in_shape)
 
@@ -200,7 +200,7 @@ class SuperResolutionOperator(LinearOperator):
     def __init__(self, in_shape=(1, 3, 256, 256), scale_factor=4, sigma_s=0.0, **kwargs):
         self.in_shape = tuple(in_shape)
         self.scale_factor = int(scale_factor)
-        self.sigma_s = jnp.asarray(sigma_s, jnp.float32)
+        self.sigma_s = np.float32(sigma_s)
         h, w = in_shape[-2:]
         self.out_shape = (in_shape[0], in_shape[1], h // self.scale_factor,
                           w // self.scale_factor)
@@ -251,7 +251,7 @@ class InpaintingOperator(LinearOperator):
         size = mask_opt.get("image_size", 256)
         self.in_shape = tuple(in_shape) if in_shape else (1, 3, size, size)
         self.out_shape = self.in_shape
-        self.sigma_s = jnp.asarray(sigma_s, jnp.float32)
+        self.sigma_s = np.float32(sigma_s)
         if mask is not None:
             self.mask = jnp.asarray(mask, jnp.float32)
         else:
@@ -280,7 +280,7 @@ class PhaseRetrievalOperator(NonLinearOperator):
     def __init__(self, oversample=2.0, in_shape=(1, 3, 256, 256), sigma_s=0.0, **kwargs):
         self.pad = int((oversample / 8.0) * in_shape[-1])
         self.in_shape = tuple(in_shape)
-        self.sigma_s = jnp.asarray(sigma_s, jnp.float32)
+        self.sigma_s = np.float32(sigma_s)
 
     def forward(self, data, noiseless=False, key=None):
         p = self.pad
