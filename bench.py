@@ -70,7 +70,9 @@ def main():
         denoise = lambda x, s: precond.apply(params_, x, s)
         x, _ = sample_scan(denoise, mech, noise, y, xs, key,
                            sigma0_scaled=sigma0_scaled)
-        return x
+        # scalar checksum: fetching it forces full completion even on remote
+        # backends where block_until_ready is unreliable
+        return x, jnp.sum(x)
 
     key = jax.random.PRNGKey(0)
     cond = jax.random.uniform(jax.random.fold_in(key, 0), (batch, 3, res, res),
@@ -80,15 +82,17 @@ def main():
 
     log("compiling + warmup run...")
     t0 = time.time()
-    run(params, noise, y, jax.random.fold_in(key, 3)).block_until_ready()
+    _, chk = run(params, noise, y, jax.random.fold_in(key, 3))
+    log(f"checksum {float(chk):.4f}")
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     times = []
     for i in range(iters):
         t0 = time.time()
-        run(params, noise, y, jax.random.fold_in(key, 10 + i)).block_until_ready()
+        _, chk = run(params, noise, y, jax.random.fold_in(key, 10 + i))
+        chk = float(chk)
         times.append(time.time() - t0)
-        log(f"iter {i}: {times[-1]:.2f}s")
+        log(f"iter {i}: {times[-1]:.2f}s (checksum {chk:.4f})")
 
     best = min(times)
     samples_per_min = batch * 60.0 / best

@@ -98,3 +98,18 @@ def pre_calculate(x: jnp.ndarray, k: jnp.ndarray, sf: int):
 def fft_conv(x: jnp.ndarray, FB: jnp.ndarray) -> jnp.ndarray:
     """Circular convolution via the precomputed OTF: real(ifft2(FB * fft2(x)))."""
     return jnp.fft.ifft2(FB * jnp.fft.fft2(x.astype(jnp.complex64))).real.astype(x.dtype)
+
+
+def fft2c(x: jnp.ndarray) -> jnp.ndarray:
+    """Centered orthonormal 2-D FFT (reference measurement_utils/
+    fastmri_utils.py centered helpers; used by phase retrieval)."""
+    x = jnp.fft.ifftshift(x, axes=(-2, -1))
+    x = jnp.fft.fft2(x, norm="ortho")
+    return jnp.fft.fftshift(x, axes=(-2, -1))
+
+
+def ifft2c(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``fft2c``."""
+    x = jnp.fft.ifftshift(x, axes=(-2, -1))
+    x = jnp.fft.ifft2(x, norm="ortho")
+    return jnp.fft.fftshift(x, axes=(-2, -1))

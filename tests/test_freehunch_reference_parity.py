@@ -57,7 +57,7 @@ if "hdf5storage" not in sys.modules:
 # state to CUDA unconditionally, online_update_bfgs.py:40-51)
 torch.Tensor.cuda = lambda self, *a, **k: self
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")  # append: repo-root modules must win name collisions
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

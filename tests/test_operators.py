@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")  # append: repo-root modules must win name collisions
 
 from free_hunch_tpu.operators import get_operator, get_noise  # noqa: E402
 from free_hunch_tpu.operators import assets, masks  # noqa: E402
@@ -165,3 +165,23 @@ def test_precond_parity_vs_reference():
     s = np.asarray([0.013, 0.7, 55.0], np.float32)
     np.testing.assert_allclose(np.asarray(jpre.round_sigma(jnp.asarray(s))),
                                tpre.round_sigma(torch.from_numpy(s)).numpy(), rtol=2e-4)
+
+
+def test_blurkernel_synthesis():
+    from free_hunch_tpu.operators.blurkernel import gaussian_kernel, make_kernel
+    g = gaussian_kernel(61, 3.0)
+    ref_g = assets.gaussian_blur_kernel()
+    # the bundled asset IS a 61x61 std-3 gaussian: synthesis must match it
+    np.testing.assert_allclose(g, ref_g, atol=5e-6)
+    m = make_kernel("motion", 21, 0.5, rng=0)
+    assert m.shape == (21, 21) and abs(m.sum() - 1) < 1e-9
+
+
+def test_centered_fft_roundtrip():
+    from free_hunch_tpu.ops.fftops import fft2c, ifft2c
+    x = _rand((1, 3, 16, 16), 9).astype(jnp.complex64)
+    np.testing.assert_allclose(np.asarray(ifft2c(fft2c(x)).real),
+                               np.asarray(x.real), atol=1e-5)
+    # Parseval
+    np.testing.assert_allclose(float(jnp.sum(jnp.abs(fft2c(x))**2)),
+                               float(jnp.sum(jnp.abs(x)**2)), rtol=1e-5)

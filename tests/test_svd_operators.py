@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")  # append: repo-root modules must win name collisions
 
 from free_hunch_tpu.operators import svd as S  # noqa: E402
 
