@@ -77,7 +77,10 @@ def main():
     key = jax.random.PRNGKey(0)
     cond = jax.random.uniform(jax.random.fold_in(key, 0), (batch, 3, res, res),
                               minval=-1, maxval=1)
-    y = op.forward(cond, noiseless=False, key=jax.random.fold_in(key, 1))
+    # measurement under jit: eager complex-FFT dispatch is broken on the
+    # remote axon TPU backend (and poisons the runtime afterwards)
+    y = jax.jit(lambda c, k: op.forward(c, noiseless=False, key=k))(
+        cond, jax.random.fold_in(key, 1))
     noise = jax.random.normal(jax.random.fold_in(key, 2), (batch, 3, res, res))
 
     log("compiling + warmup run...")

@@ -171,9 +171,11 @@ def ddnm_conditional_sampler(eps_fn: Callable, noise: jnp.ndarray,
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
 
-    y = a_funcs.A(cond_images.reshape(b, -1))
-    y = y + sigma_y * jax.random.normal(jax.random.fold_in(rng_key, 0),
-                                        y.shape, y.dtype)
+    def measure(c, k):
+        yy = a_funcs.A(c.reshape(b, -1))
+        return yy + sigma_y * jax.random.normal(k, yy.shape, yy.dtype)
+
+    y = jax.jit(measure)(cond_images, jax.random.fold_in(rng_key, 0))
     name = operator_kwargs["name"]
     if name == "inpainting":
         y_for_output = a_funcs.A_with_zeros(

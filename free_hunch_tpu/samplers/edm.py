@@ -278,8 +278,10 @@ def conditional_sampler(
         round_sigma=round_sigma, net_sigma_min=net_sigma_min,
         net_sigma_max=net_sigma_max, alpha=alpha, **schedule_kwargs)
 
-    y = operator.forward(cond_images, noiseless=False,
-                         key=jax.random.fold_in(rng_key, 0))
+    # measurement under jit (eager complex-FFT dispatch is unreliable on
+    # remote TPU backends)
+    y = jax.jit(lambda c, k: operator.forward(c, noiseless=False, key=k))(
+        cond_images, jax.random.fold_in(rng_key, 0))
 
     def run(noise_, y_, key_):
         return sample_scan(denoise, mechanism, noise_, y_, xs, key_,
