@@ -57,8 +57,9 @@ def main():
         cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
         image_base_covariance="dct_diagonal",
         init_denoiser_variance=1.0, init_noise_variance=80.0**2,
-        data_dim=3 * res * res, cov_capacity=128,
-        solver_type="customcuda", max_rtol=1.0)
+        data_dim=3 * res * res, cov_capacity=int(os.environ.get("BENCH_COV_K", 128)),
+        solver_type="customcuda", max_rtol=float(os.environ.get("BENCH_MAX_RTOL", 1.0)),
+        cg_maxiter=int(os.environ.get("BENCH_CG_MAXITER", 5000)))
 
     xs, sigma0_scaled = prepare_schedule(
         round_sigma=precond.round_sigma, net_sigma_min=precond.sigma_min,

@@ -61,7 +61,7 @@ def sample_gmm_posterior(gmm: G.GaussianMixture, observed_mask: np.ndarray,
                space_step_update_lower_threshold=1.0,
                space_step_update_threshold=10.0,
                denoiser_mean_error_threshold=1e9, max_rtol=1e-4,
-               transport_mean_bound=10.0,
+               transport_mean_bound=10.0, guidance_update_bound=20.0,
                cg_maxiter=50)
     mkw.update(mechanism_kwargs or {})
     sigma_max = 20.0

@@ -265,6 +265,11 @@ class FreeHunch(ConditioningMechanism):
     solver_type: str = "customcuda"
     data_dir: Optional[str] = None
     dataset: str = "imagenet"
+    # Elementwise bound on the guidance update sigma^2 * grad (robustness
+    # knob): a near-singular estimated covariance can make one CG solve blow
+    # up a single chain; bounding the per-call update keeps that chain sane
+    # without affecting well-behaved ones. None = reference behaviour.
+    guidance_update_bound: Optional[float] = None
     # Bound on the analytically-transported denoiser mean (robustness knob):
     # the transport H' H^-1 can blow up when the estimated Sigma_0 approaches
     # sigma^2 I (H singular). A real image denoiser clamps its outputs to
@@ -388,12 +393,17 @@ class FreeHunch(ConditioningMechanism):
 
         # (4) solve (A Sigma_0 A^T + sigma_s^2 I) u = y - A x0;  mat = A^T u
         cov_mv = lambda v: self.cov_matvec_pixel(cov, v)
+        # mean eigenvalue of Sigma_0 per sample (trace/d) -> CG preconditioner
+        d_dim = cov.diag.shape[-1]
+        lr_trace = jax.vmap(lambda c: jnp.sum(c.M * (c.U.T @ c.U)))(cov)
+        cov_vbar = (jnp.sum(cov.diag, axis=-1) + lr_trace) / d_dim
 
         def cov_mat(_):
             return choose_solver(self.forward_operator, y, x0, cov_mv=cov_mv,
                                  method=self.solver_type, max_rtol=self.max_rtol,
                                  sigma_t=sigma, use_rtol_func=self.use_rtol_func,
-                                 maxiter=self.cg_maxiter)
+                                 maxiter=self.cg_maxiter,
+                                 cov_trace_mean=cov_vbar)
 
         if self.use_analytic_var_at_end:
             # low-sigma analytic-variance override (reference :273-278); only
@@ -423,7 +433,15 @@ class FreeHunch(ConditioningMechanism):
         use_fb = jnp.logical_and(jnp.logical_not(analytic_case),
                                  upd_std > self.denoiser_mean_error_threshold)
         grad = jnp.where(use_fb[:, None, None, None], fallback, grad)
-        x0_new = x0 + grad * self.cond_scaling * sigma**2
+        update = grad * self.cond_scaling * sigma**2
+        if self.guidance_update_bound is not None:
+            gb = float(self.guidance_update_bound)
+            update = jnp.clip(update, -gb, gb)
+        # graceful degradation: a chain whose covariance solve diverged falls
+        # back to the unguided denoiser mean instead of propagating non-finite
+        # values through the remaining steps
+        update = jnp.where(jnp.isfinite(update), update, 0.0)
+        x0_new = x0 + update
 
         new_state = FreeHunchState(cov=cov, prev_sigma=sigma, prev_x=x_t,
                                    prev_mean=x0, step=state.step + 1)

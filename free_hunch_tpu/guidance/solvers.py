@@ -52,14 +52,17 @@ def _flatten(v):
     return v.reshape(v.shape[0], -1)
 
 
-def _run_cg(matvec_img: Callable, b_img: jnp.ndarray, rtol, maxiter: int):
+def _run_cg(matvec_img: Callable, b_img: jnp.ndarray, rtol, maxiter: int,
+            precond: Optional[Callable] = None):
     """CG over (B, ...) image-shaped systems via flatten/unflatten."""
     shape = b_img.shape
 
     def mv(v):
         return _flatten(matvec_img(v.reshape(shape)))
 
-    u, info = cg_mod.cg_batch(mv, _flatten(b_img), rtol=rtol, maxiter=maxiter)
+    pc = None if precond is None else (lambda v: _flatten(precond(v.reshape(shape))))
+    u, info = cg_mod.cg_batch(mv, _flatten(b_img), rtol=rtol, maxiter=maxiter,
+                              precond=pc)
     return u.reshape(shape), info
 
 
@@ -68,6 +71,24 @@ def _apply_c(v, theta0_var=None, cov_mv: Optional[Callable] = None):
     if cov_mv is not None:
         return cov_mv(v)
     return theta0_var * v
+
+
+def _mean_variance(theta0_var, cov_trace_mean, x_like):
+    """Per-sample scalar proxy v_bar of C for preconditioning: the exact
+    trace/d of the covariance model when provided, else the mean of the
+    diagonal variance. Returns (B,) or None."""
+    if cov_trace_mean is not None:
+        v = jnp.broadcast_to(jnp.asarray(cov_trace_mean, x_like.dtype),
+                             (x_like.shape[0],))
+        # the estimated covariance can transiently lose PD-ness; the
+        # preconditioner must stay SPD
+        return jnp.maximum(v, jnp.asarray(1e-8, x_like.dtype))
+    if theta0_var is None:
+        return None
+    t = jnp.asarray(theta0_var, x_like.dtype)
+    if t.ndim == 0:
+        return jnp.broadcast_to(t, (x_like.shape[0],))
+    return jnp.mean(t.reshape(x_like.shape[0], -1), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -84,10 +105,17 @@ def deblur_mat_closed_form(operator, y, x0_mean, theta0_var):
 
 
 def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
-                  rtol=1e-4, maxiter=1000):
+                  rtol=1e-4, maxiter=1000, cov_trace_mean=None):
     """General-covariance case (reference
     _deblur_mat_generic_customcuda_bfgs_tailored:490 and the scipy twin :529).
-    Per CG iteration: u -> sigma_s^2 u + A C A^T u with A^T via FBC."""
+    Per CG iteration: u -> sigma_s^2 u + A C A^T u with A^T via FBC.
+
+    Preconditioned with the exact Fourier-diagonal inverse of the system for
+    C = v_bar I (the covariance's mean eigenvalue): the covariance is
+    diagonal-dominated, so this cuts CG iterations several-fold. The
+    preconditioner is SPD, so plain PCG applies; the unpreconditioned
+    reference solve is recovered with v_bar = None.
+    """
     sigma_s = jnp.clip(operator.sigma_s, min=0.001)
     FB, FBC, F2B, _ = operator.pre_calculated
 
@@ -97,8 +125,14 @@ def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         v = _ifft2_r(FB * _fft2(v))           # A .
         return sigma_s**2 * u + v
 
+    vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean)
+    precond = None
+    if vbar is not None:
+        denom = sigma_s**2 + vbar[:, None, None, None] * F2B
+        precond = lambda r: _ifft2_r(_fft2(r) / denom)
+
     b = y - _ifft2_r(FB * _fft2(x0_mean))
-    u, _ = _run_cg(matvec, b, rtol, maxiter)
+    u, _ = _run_cg(matvec, b, rtol, maxiter, precond=precond)
     return _ifft2_r(FBC * _fft2(u))
 
 
@@ -119,8 +153,9 @@ def sr_mat_closed_form(operator, y, x0_mean, theta0_var):
 
 
 def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
-              rtol=1e-4, maxiter=1000):
-    """(reference _super_resolution_mat_generic_customcuda_bfgs_tailored:641)."""
+              rtol=1e-4, maxiter=1000, cov_trace_mean=None):
+    """(reference _super_resolution_mat_generic_customcuda_bfgs_tailored:641).
+    Preconditioned with the polyphase-diagonal inverse for C = v_bar I."""
     sigma_s = jnp.clip(operator.sigma_s, min=0.01)
     sf = operator.scale_factor
     FB, FBC, F2B, _ = operator.pre_calculated
@@ -131,8 +166,15 @@ def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         v = downsample(_ifft2_r(FB * _fft2(v)), sf)
         return sigma_s**2 * u + v
 
+    vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean)
+    precond = None
+    if vbar is not None:
+        invW = jnp.mean(splits(jnp.asarray(F2B), sf), axis=-1)
+        denom = sigma_s**2 + vbar[:, None, None, None] * invW
+        precond = lambda r: _ifft2_r(_fft2(r) / denom)
+
     b = y - downsample(_ifft2_r(FB * _fft2(x0_mean)), sf)
-    u, _ = _run_cg(matvec, b, rtol, maxiter)
+    u, _ = _run_cg(matvec, b, rtol, maxiter, precond=precond)
     return _ifft2_r(FBC * _fft2(upsample(u, sf)))
 
 
@@ -148,9 +190,10 @@ def inpainting_mat_closed_form(operator, y, x0_mean, theta0_var):
 
 
 def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
-                      rtol=1e-4, maxiter=1000):
+                      rtol=1e-4, maxiter=1000, cov_trace_mean=None):
     """(reference _inpainting_mat_generic_customcuda_bfgs_tailored:385 / the
-    diagonal-variance CG at :366-381)."""
+    diagonal-variance CG at :366-381). Jacobi-preconditioned with the exact
+    diagonal for C = v_bar I."""
     sigma_s = jnp.clip(operator.sigma_s, min=0.001)
     mask = operator.mask
 
@@ -158,8 +201,14 @@ def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         v = _apply_c(mask * u, theta0_var, cov_mv)
         return sigma_s**2 * u + mask * v
 
+    vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean)
+    precond = None
+    if vbar is not None:
+        denom = sigma_s**2 + vbar[:, None, None, None] * mask
+        precond = lambda r: r / denom
+
     b = mask * y - mask * x0_mean
-    mat, _ = _run_cg(matvec, b, rtol, maxiter)
+    mat, _ = _run_cg(matvec, b, rtol, maxiter, precond=precond)
     return mat
 
 
@@ -175,7 +224,8 @@ _CG = {"gaussian_blur": deblur_mat_cg, "motion_blur": deblur_mat_cg,
 
 def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                   method: str = "cg", max_rtol: float = 1.0, sigma_t=None,
-                  use_rtol_func: bool = False, maxiter: Optional[int] = None):
+                  use_rtol_func: bool = False, maxiter: Optional[int] = None,
+                  cov_trace_mean=None):
     """Solve for ``mat`` given an operator by name.
 
     method:
@@ -199,8 +249,10 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     if method in ("cg", "customcuda"):
         rtol = rtol_schedule(sigma_t, max_rtol) if sigma_t is not None else 1e-4
         return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
-                         rtol=rtol, maxiter=maxiter or 5000)
+                         rtol=rtol, maxiter=maxiter or 5000,
+                         cov_trace_mean=cov_trace_mean)
     # scipy-equivalent path (and closed-form fallbacks with non-scalar var)
     rtol = rtol_schedule_2(sigma_t) if (sigma_t is not None and use_rtol_func) else 1e-4
     return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
-                     rtol=rtol, maxiter=maxiter or 1000)
+                     rtol=rtol, maxiter=maxiter or 1000,
+                     cov_trace_mean=cov_trace_mean)

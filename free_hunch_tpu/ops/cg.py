@@ -90,6 +90,9 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
         best = jnp.minimum(best, res)
         active = jnp.logical_and(active, res > stop)
         active = jnp.logical_and(active, stall < stall_iters)
+        # freeze rows whose residual went non-finite (breakdown guard): the
+        # masked update above keeps their x at the last finite iterate
+        active = jnp.logical_and(active, jnp.isfinite(res))
         return x, r, p, rz_new, i + 1, active, best, stall
 
     active0 = res0 > stop
