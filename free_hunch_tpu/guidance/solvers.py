@@ -28,8 +28,11 @@ def rtol_schedule(sigma, rtol_max=1.0, rtol_min=1e-14, p=0.1):
     (reference rtol_func:307-323). Traced-sigma safe."""
     sigma_min, sigma_max = 0.1, 80.0
     s = jnp.clip(jnp.asarray(sigma, jnp.float32), sigma_min, sigma_max)
-    log_factor = ((jnp.log10(s) - jnp.log10(sigma_min))
-                  / (jnp.log10(sigma_max) - jnp.log10(sigma_min))) ** p
+    ratio = ((jnp.log10(s) - jnp.log10(sigma_min))
+             / (jnp.log10(sigma_max) - jnp.log10(sigma_min)))
+    # f32 rounding can push the ratio epsilon-negative at the clip boundary,
+    # and x**0.1 of a negative is nan
+    log_factor = jnp.clip(ratio, 0.0, 1.0) ** p
     log_rtol = log_factor * (jnp.log10(rtol_max) - jnp.log10(rtol_min)) + jnp.log10(rtol_min)
     return 10.0 ** log_rtol
 
