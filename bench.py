@@ -37,7 +37,7 @@ def main():
     from free_hunch_tpu.operators import get_operator
     from free_hunch_tpu.samplers.edm import prepare_schedule, sample_scan
 
-    batch = int(os.environ.get("BENCH_BATCH", 2))
+    batch = int(os.environ.get("BENCH_BATCH", 8))
     num_steps = int(os.environ.get("BENCH_STEPS", 30))
     iters = int(os.environ.get("BENCH_ITERS", 3))
     res = int(os.environ.get("BENCH_RES", 256))

@@ -107,8 +107,15 @@ class Evaluator:
         self.encoder = StandardRGBEncoder()
 
         # --- dataset ----------------------------------------------------------
-        self.dataset = ImageFolderDataset(opts["dataset_path"],
-                                          resolution=self.res, return_idx=True)
+        ds_name = opts.get("dataset_name",
+                           "free_hunch_tpu.data.dataset.ImageFolderDataset")
+        if ds_name in ("training.dataset.ImageFolderDataset", None):
+            # reference config default -> our dataset class
+            ds_name = "free_hunch_tpu.data.dataset.ImageFolderDataset"
+        from free_hunch_tpu.utils.dynamic import construct_class_by_name
+        self.dataset = construct_class_by_name(
+            class_name=ds_name, path=opts["dataset_path"],
+            resolution=self.res, return_idx=True)
         total = opts.get("total_images") or len(self.dataset)
         total = min(total, len(self.dataset))
         self.indices = shard_indices(total, self.world, self.rank)

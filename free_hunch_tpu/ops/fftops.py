@@ -113,3 +113,18 @@ def ifft2c(x: jnp.ndarray) -> jnp.ndarray:
     x = jnp.fft.ifftshift(x, axes=(-2, -1))
     x = jnp.fft.ifft2(x, norm="ortho")
     return jnp.fft.fftshift(x, axes=(-2, -1))
+
+
+def data_solution(x: jnp.ndarray, FB, FBC, F2B, FBFy, alpha, sf: int) -> jnp.ndarray:
+    """Closed-form data-term proximal solution for SR/deblur half-quadratic
+    splitting (reference ``utils_sisr.data_solution:65``; consumed by
+    DiffPIR-style solvers)."""
+    alpha = jnp.clip(jnp.asarray(alpha, jnp.float32), min=1e-2)
+    FR = FBFy + jnp.fft.fftn((alpha * x).astype(jnp.complex64), axes=(-2, -1))
+    x1 = FB * FR
+    FBR = jnp.mean(splits(x1, sf), axis=-1)
+    invW = jnp.mean(splits(F2B, sf), axis=-1)
+    invWBR = FBR / (invW + alpha)
+    FCBinvWBR = FBC * jnp.tile(invWBR, (1, 1, sf, sf))
+    FX = (FR - FCBinvWBR) / alpha.astype(jnp.complex64)
+    return jnp.fft.ifftn(FX, axes=(-2, -1)).real.astype(x.dtype)

@@ -232,3 +232,37 @@ def test_phase_timer_and_annotate():
     assert "matmul" in s and "sleepy" in s
     with annotate("region"):
         pass
+
+
+def test_dynamic_construction_and_open_url(tmp_path):
+    from free_hunch_tpu.utils.dynamic import (construct_class_by_name,
+                                              get_obj_by_name, open_url, is_url)
+    d = construct_class_by_name(class_name="collections.OrderedDict", a=1)
+    assert d["a"] == 1
+    assert get_obj_by_name("os.path.join")("a", "b").endswith("b")
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"hello")
+    assert open_url(str(p)).read() == b"hello"
+    assert open_url(f"file://{p}", return_filename=True) == str(p)
+    assert is_url("https://x.y/z") and not is_url("/tmp/x")
+    import pytest as _pytest
+    with _pytest.raises(IOError):
+        open_url("https://nonexistent.example/x", cache_dir=str(tmp_path / "nc"))
+
+
+def test_data_solution_reduces_residual():
+    import jax.numpy as jnp
+    from free_hunch_tpu.ops.fftops import data_solution, pre_calculate, downsample, fft_conv
+    rng = np.random.default_rng(21)
+    x_true = jnp.asarray(rng.normal(size=(1, 3, 16, 16)), jnp.float32)
+    k = jnp.asarray(rng.uniform(0.1, 1, (1, 1, 5, 5)), jnp.float32)
+    k = k / k.sum()
+    sf = 2
+    y = downsample(fft_conv(x_true, __import__("free_hunch_tpu.ops.fftops", fromlist=["p2o"]).p2o(k.astype(jnp.complex64), (16, 16))), sf)
+    FB, FBC, F2B, FBFy = pre_calculate(y, k, sf)
+    x0 = jnp.zeros_like(x_true)
+    sol = data_solution(x0, FB, FBC, F2B, FBFy, 0.1, sf)
+    # the HQS data solution must fit the measurement better than the init
+    def resid(x):
+        return float(jnp.sum((downsample(fft_conv(x, FB), sf) - y) ** 2))
+    assert resid(sol) < resid(x0)
