@@ -39,14 +39,14 @@ def _resblock_entries(torch_prefix: str, flax_prefix: Tuple[str, ...],
                       has_skip: bool) -> List[Tuple[str, Tuple[str, ...], str]]:
     """(torch_name, flax_path, kind) triples for one ResBlock."""
     e = [
-        (f"{torch_prefix}.in_layers.0.weight", flax_prefix + ("in_norm", "GroupNorm_0", "scale"), "raw"),
-        (f"{torch_prefix}.in_layers.0.bias", flax_prefix + ("in_norm", "GroupNorm_0", "bias"), "raw"),
+        (f"{torch_prefix}.in_layers.0.weight", flax_prefix + ("in_norm", "scale"), "raw"),
+        (f"{torch_prefix}.in_layers.0.bias", flax_prefix + ("in_norm", "bias"), "raw"),
         (f"{torch_prefix}.in_layers.2.weight", flax_prefix + ("in_conv", "kernel"), "conv"),
         (f"{torch_prefix}.in_layers.2.bias", flax_prefix + ("in_conv", "bias"), "raw"),
         (f"{torch_prefix}.emb_layers.1.weight", flax_prefix + ("emb_proj", "kernel"), "lin"),
         (f"{torch_prefix}.emb_layers.1.bias", flax_prefix + ("emb_proj", "bias"), "raw"),
-        (f"{torch_prefix}.out_layers.0.weight", flax_prefix + ("out_norm", "GroupNorm_0", "scale"), "raw"),
-        (f"{torch_prefix}.out_layers.0.bias", flax_prefix + ("out_norm", "GroupNorm_0", "bias"), "raw"),
+        (f"{torch_prefix}.out_layers.0.weight", flax_prefix + ("out_norm", "scale"), "raw"),
+        (f"{torch_prefix}.out_layers.0.bias", flax_prefix + ("out_norm", "bias"), "raw"),
         (f"{torch_prefix}.out_layers.3.weight", flax_prefix + ("out_conv", "kernel"), "conv"),
         (f"{torch_prefix}.out_layers.3.bias", flax_prefix + ("out_conv", "bias"), "raw"),
     ]
@@ -60,8 +60,8 @@ def _resblock_entries(torch_prefix: str, flax_prefix: Tuple[str, ...],
 
 def _attn_entries(torch_prefix: str, flax_prefix: Tuple[str, ...]):
     return [
-        (f"{torch_prefix}.norm.weight", flax_prefix + ("norm", "GroupNorm_0", "scale"), "raw"),
-        (f"{torch_prefix}.norm.bias", flax_prefix + ("norm", "GroupNorm_0", "bias"), "raw"),
+        (f"{torch_prefix}.norm.weight", flax_prefix + ("norm", "scale"), "raw"),
+        (f"{torch_prefix}.norm.bias", flax_prefix + ("norm", "bias"), "raw"),
         (f"{torch_prefix}.qkv.weight", flax_prefix + ("qkv", "kernel"), "conv1d"),
         (f"{torch_prefix}.qkv.bias", flax_prefix + ("qkv", "bias"), "raw"),
         (f"{torch_prefix}.proj_out.weight", flax_prefix + ("proj_out", "kernel"), "conv1d"),
@@ -80,8 +80,8 @@ def name_map(cfg: UNetConfig) -> List[Tuple[str, Tuple[str, ...], str]]:
         ("time_embed.2.bias", ("time_embed_2", "bias"), "raw"),
         ("input_blocks.0.0.weight", ("in_conv", "kernel"), "conv"),
         ("input_blocks.0.0.bias", ("in_conv", "bias"), "raw"),
-        ("out.0.weight", ("out_norm", "GroupNorm_0", "scale"), "raw"),
-        ("out.0.bias", ("out_norm", "GroupNorm_0", "bias"), "raw"),
+        ("out.0.weight", ("out_norm", "scale"), "raw"),
+        ("out.0.bias", ("out_norm", "bias"), "raw"),
         ("out.2.weight", ("out_conv", "kernel"), "conv"),
         ("out.2.bias", ("out_conv", "bias"), "raw"),
     ]

@@ -66,16 +66,22 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 100
 
 
 class GroupNorm32(nn.Module):
-    """32-group GroupNorm computed in float32 regardless of activation dtype
-    (reference GroupNorm32, openai_nn.py:17)."""
+    """32-group GroupNorm with float32 statistics regardless of activation
+    dtype (reference GroupNorm32, openai_nn.py:17), optionally fused with the
+    SiLU that follows it throughout the ADM UNet. On TPU this lowers to the
+    two-pass Pallas kernel (ops.pallas_groupnorm); elsewhere to the identical
+    jnp formulation."""
     channels: int
+    apply_silu: bool = False
 
     @nn.compact
     def __call__(self, x):
-        dtype = x.dtype
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32)(x.astype(jnp.float32))
-        return h.astype(dtype)
+        from free_hunch_tpu.ops.pallas_groupnorm import groupnorm_silu
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.channels,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.channels,), jnp.float32)
+        return groupnorm_silu(x, scale, bias, 32, 1e-5, self.apply_silu)
 
 
 def _conv(features, kernel=3, stride=1, dtype=jnp.bfloat16, name=None, zero_init=False):
@@ -125,8 +131,7 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb):
         c_in = x.shape[-1]
-        h = GroupNorm32(c_in, name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(c_in, apply_silu=True, name="in_norm")(x)
         if self.up:
             h = Upsample(c_in, use_conv=False, dtype=self.dtype)(h)
             x = Upsample(c_in, use_conv=False, dtype=self.dtype)(x)
@@ -143,10 +148,10 @@ class ResBlock(nn.Module):
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = GroupNorm32(self.out_channels, name="out_norm")(h) * (1 + scale) + shift
+            h = nn.silu(h)
         else:
             h = h + emb_out
-            h = GroupNorm32(self.out_channels, name="out_norm")(h)
-        h = nn.silu(h)
+            h = GroupNorm32(self.out_channels, apply_silu=True, name="out_norm")(h)
         h = _conv(self.out_channels, dtype=self.dtype, name="out_conv", zero_init=True)(h)
 
         if self.out_channels == c_in:
@@ -292,8 +297,7 @@ class UNetModel(nn.Module):
                 block_id += 1
 
         h = h.astype(jnp.float32)
-        h = GroupNorm32(ch, name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(ch, apply_silu=True, name="out_norm")(h)
         h = _conv(cfg.out_channels, dtype=jnp.float32, name="out_conv", zero_init=True)(h)
         return jnp.transpose(h, (0, 3, 1, 2))  # NHWC -> NCHW
 
