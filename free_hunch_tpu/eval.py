@@ -240,12 +240,16 @@ class Evaluator:
             if opts.get("save_videos", False):
                 _save_videos([gen_u8], os.path.join(outdir, "videos"), names)
 
-            # --- metrics (reference :543-551) ---------------------------------
-            p = float(jnp.mean(psnr(jnp.asarray(cond_rep, jnp.float32),
-                                    jnp.asarray(gen_u8, jnp.float32))))
-            s_vals = [float(ssim(jnp.asarray(cond_rep[i], jnp.float32),
-                                 jnp.asarray(gen_u8[i], jnp.float32),
-                                 channel_axis=0)) for i in range(len(names))]
+            # --- metrics (reference :543-551); one jitted vmapped call -------
+            if not hasattr(self, "_metric_fn"):
+                def _metrics(a, b):
+                    return (psnr(a, b),
+                            jax.vmap(lambda u, v: ssim(u, v, channel_axis=0))(a, b))
+                self._metric_fn = jax.jit(_metrics)
+            p_all, s_all = self._metric_fn(jnp.asarray(cond_rep, jnp.float32),
+                                           jnp.asarray(gen_u8, jnp.float32))
+            p = float(jnp.mean(p_all))
+            s_vals = np.asarray(s_all)
             lp = self._lpips(cond_rep.astype(np.float32) / 127.5 - 1,
                              gen_u8.astype(np.float32) / 127.5 - 1)
             totals["psnr"] += p

@@ -31,7 +31,9 @@ try:  # pltpu is only importable on TPU-enabled builds
 except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
-_VMEM_BUDGET = 4 * 1024 * 1024  # bytes of activation block per grid step
+# activation block bytes per grid step; the f32 compute copy, the output
+# block, and double buffering multiply this by ~6x against the 16 MB VMEM
+_VMEM_BUDGET = 1024 * 1024
 
 
 def _reference(x, gamma, beta, groups, eps, apply_silu):
@@ -47,6 +49,14 @@ def _reference(x, gamma, beta, groups, eps, apply_silu):
     return y.astype(x.dtype)
 
 
+def _group_onehot(c: int, groups: int, dtype=jnp.float32):
+    """(c, groups) one-hot channel->group assignment, built from 2-D iotas
+    (constant-folded; avoids in-kernel reshapes that Mosaic cannot lay out)."""
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    return (ch // (c // groups) == gr).astype(dtype)
+
+
 def _stats_kernel(x_ref, out_ref, *, groups):
     th, w, c = x_ref.shape[1:]
     i = pl.program_id(1)
@@ -55,25 +65,29 @@ def _stats_kernel(x_ref, out_ref, *, groups):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    xf = x_ref[0].astype(jnp.float32).reshape(th * w, groups, c // groups)
-    s1 = jnp.sum(xf, axis=(0, 2))
-    s2 = jnp.sum(xf * xf, axis=(0, 2))
-    out_ref[0, 0, :] += s1
-    out_ref[0, 1, :] += s2
+    xf = x_ref[0].astype(jnp.float32)
+    # 2-D x 2-D dots only (Mosaic has no 1-D dot lowering)
+    colsum = jnp.sum(xf, axis=0)                 # (w, c)
+    sqsum = jnp.sum(xf * xf, axis=0)             # (w, c)
+    both = jnp.concatenate([jnp.sum(colsum, axis=0, keepdims=True),
+                            jnp.sum(sqsum, axis=0, keepdims=True)], axis=0)  # (2, c)
+    onehot = _group_onehot(c, groups)
+    out_ref[0] += jnp.dot(both, onehot, preferred_element_type=jnp.float32)
 
 
 def _apply_kernel(x_ref, stats_ref, gamma_ref, beta_ref, out_ref, *,
                   groups, eps, count, apply_silu):
     th, w, c = x_ref.shape[1:]
-    cg = c // groups
-    s1 = stats_ref[0, 0, :]
-    s2 = stats_ref[0, 1, :]
-    mean = s1 / count
-    var = s2 / count - mean * mean
+    stats = stats_ref[0]                          # (2, groups)
+    mean = stats[0:1] / count                     # (1, groups)
+    var = stats[1:2] / count - mean * mean
     inv = jax.lax.rsqrt(var + eps)
-    # broadcast per-group stats to channels
-    mean_c = jnp.repeat(mean, cg)
-    inv_c = jnp.repeat(inv, cg)
+    # broadcast per-group stats to channels via the one-hot matmul (2-D dots)
+    onehot = _group_onehot(c, groups)
+    mi = jnp.concatenate([mean, inv], axis=0)     # (2, groups)
+    mi_c = jnp.dot(mi, onehot.T, preferred_element_type=jnp.float32)  # (2, c)
+    mean_c = mi_c[0]
+    inv_c = mi_c[1]
     xf = x_ref[0].astype(jnp.float32)
     y = (xf - mean_c[None, None, :]) * inv_c[None, None, :]
     y = y * gamma_ref[...].astype(jnp.float32) + beta_ref[...].astype(jnp.float32)
