@@ -135,22 +135,12 @@ def _pallas_groupnorm(x, gamma, beta, groups, eps, apply_silu):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def groupnorm_silu(x, gamma, beta, groups: int = 32, eps: float = 1e-5,
-                   apply_silu: bool = True):
-    """Fused GroupNorm(32)(+SiLU) over an NHWC tensor.
-
-    Uses the Pallas TPU kernel when available and shapes allow (C % 128 == 0);
-    otherwise the jnp reference. Gradients always flow through the reference
-    formulation (identical math)."""
-    use_pallas = (_HAS_PLTPU and jax.default_backend() == "tpu"
-                  and x.shape[-1] % 128 == 0 and x.shape[-1] % groups == 0)
-    if use_pallas:
-        return _pallas_groupnorm(x, gamma, beta, groups, eps, apply_silu)
-    return _reference(x, gamma, beta, groups, eps, apply_silu)
+def _pallas_groupnorm_vjp(x, gamma, beta, groups, eps, apply_silu):
+    return _pallas_groupnorm(x, gamma, beta, groups, eps, apply_silu)
 
 
 def _fwd(x, gamma, beta, groups, eps, apply_silu):
-    return groupnorm_silu(x, gamma, beta, groups, eps, apply_silu), (x, gamma, beta)
+    return _pallas_groupnorm(x, gamma, beta, groups, eps, apply_silu), (x, gamma, beta)
 
 
 def _bwd(groups, eps, apply_silu, res, g):
@@ -160,4 +150,27 @@ def _bwd(groups, eps, apply_silu, res, g):
     return vjp(g)
 
 
-groupnorm_silu.defvjp(_fwd, _bwd)
+_pallas_groupnorm_vjp.defvjp(_fwd, _bwd)
+
+
+def groupnorm_silu(x, gamma, beta, groups: int = 32, eps: float = 1e-5,
+                   apply_silu: bool = True):
+    """Fused GroupNorm(32)(+SiLU) over an NHWC tensor.
+
+    The Pallas path is opt-in (FREE_HUNCH_PALLAS_GN=1): measured end-to-end
+    on v5e it LOSES to XLA, whose producer-consumer fusion folds the norm into
+    the adjacent convolutions, while an opaque pallas_call is a fusion
+    barrier with its own HBM round trips (36.5s vs 27.2s per 8x30-step batch).
+    The kernel is kept as the standalone-validated fused implementation for
+    contexts where the norm is not fusible. Gradients always flow through the
+    reference formulation (identical math)."""
+    import os
+    use_pallas = (os.environ.get("FREE_HUNCH_PALLAS_GN", "0") == "1"
+                  and _HAS_PLTPU and jax.default_backend() == "tpu"
+                  and x.shape[-1] % 128 == 0 and x.shape[-1] % groups == 0)
+    if use_pallas:
+        return _pallas_groupnorm_vjp(x, gamma, beta, groups, eps, apply_silu)
+    # the plain formulation differentiates natively — no custom_vjp wrapper,
+    # so XLA shares forward intermediates with the backward instead of
+    # recomputing them
+    return _reference(x, gamma, beta, groups, eps, apply_silu)
