@@ -48,7 +48,8 @@ def main():
     model, params, model_args = load_model(
         "models/256x256_diffusion_uncond.pt",
         "models/256x256_diffusion_uncond_setup.txt",
-        dtype=jnp.bfloat16, init_random_if_missing=True)
+        dtype=jnp.bfloat16, init_random_if_missing=True,
+        remat=os.environ.get("BENCH_REMAT", "1") == "1")
     precond = wrap_precond(model, model_args, "linear")
 
     op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),

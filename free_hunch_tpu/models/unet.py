@@ -307,7 +307,7 @@ def create_model(image_size=256, num_channels=256, num_res_blocks=2, channel_mul
                  num_heads=4, num_head_channels=64, num_heads_upsample=-1,
                  use_scale_shift_norm=True, dropout=0.0, resblock_updown=True,
                  use_fp16=False, use_new_attention_order=False, use_checkpoint=False,
-                 dtype=jnp.bfloat16, **_unused) -> UNetModel:
+                 dtype=jnp.bfloat16, remat=True, **_unused) -> UNetModel:
     """Build a UNet from the OpenAI setup-file argument surface
     (reference ``training/openai_util.py:130-186``)."""
     if channel_mult == "" or channel_mult is None:
@@ -324,6 +324,6 @@ def create_model(image_size=256, num_channels=256, num_res_blocks=2, channel_mul
         num_heads=num_heads, num_head_channels=num_head_channels,
         num_heads_upsample=num_heads_upsample,
         use_scale_shift_norm=use_scale_shift_norm, resblock_updown=resblock_updown,
-        use_new_attention_order=use_new_attention_order, dtype=dtype,
+        use_new_attention_order=use_new_attention_order, dtype=dtype, remat=remat,
     )
     return UNetModel(cfg)

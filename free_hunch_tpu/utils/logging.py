@@ -52,9 +52,17 @@ class _Split:
         for s in self.streams:
             s.write(text)
 
+    def writelines(self, lines):
+        for line in lines:
+            self.write(line)
+
     def flush(self):
         for s in self.streams:
             s.flush()
 
     def isatty(self):
         return False
+
+    def close(self):
+        # the Tee owns its file handle; the wrapped std streams stay open
+        self.flush()
