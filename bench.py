@@ -49,7 +49,7 @@ def main():
         "models/256x256_diffusion_uncond.pt",
         "models/256x256_diffusion_uncond_setup.txt",
         dtype=jnp.bfloat16, init_random_if_missing=True,
-        remat=os.environ.get("BENCH_REMAT", "1") == "1")
+        remat=os.environ.get("BENCH_REMAT", "0") == "1")
     precond = wrap_precond(model, model_args, "linear")
 
     op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),

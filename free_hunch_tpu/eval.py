@@ -99,7 +99,7 @@ class Evaluator:
             opts.get("dtype", "bfloat16")]
         self.model, self.params, model_args = load_model(
             opts.get("openai_state_dict_path"), opts["openai_setup_path"],
-            dtype=dtype,
+            dtype=dtype, remat=bool(opts.get("remat", False)),
             init_random_if_missing=bool(opts.get("allow_random_init", False)))
         self.precond = wrap_precond(self.model, model_args,
                                     opts.get("iddpm_preconditioning", "linear"))

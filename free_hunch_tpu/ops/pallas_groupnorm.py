@@ -37,13 +37,24 @@ _VMEM_BUDGET = 1024 * 1024
 
 
 def _reference(x, gamma, beta, groups, eps, apply_silu):
-    """Pure-jnp formulation (f32 statistics), used for backward and fallback."""
+    """Pure-jnp formulation (f32 statistics), used for backward and fallback.
+
+    Statistics go through (n, c) channel reductions + tiny (n, groups)
+    regroupings instead of reshaping the full activation tensor — the big
+    arrays only appear in elementwise chains that XLA fuses into the
+    surrounding convolutions."""
     n, h, w, c = x.shape
-    xf = x.astype(jnp.float32).reshape(n, h * w, groups, c // groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(n, h, w, c) * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    cg = c // groups
+    xf = x.astype(jnp.float32)
+    mean_c = jnp.mean(xf, axis=(1, 2))                      # (n, c)
+    gmean = jnp.mean(mean_c.reshape(n, groups, cg), axis=-1)
+    gmean_c = jnp.repeat(gmean, cg, axis=-1)                # (n, c)
+    centered = xf - gmean_c[:, None, None, :]
+    var_c = jnp.mean(jnp.square(centered), axis=(1, 2))     # (n, c)
+    gvar = jnp.mean(var_c.reshape(n, groups, cg), axis=-1)
+    inv_c = jnp.repeat(jax.lax.rsqrt(gvar + eps), cg, axis=-1)
+    y = centered * inv_c[:, None, None, :]
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     if apply_silu:
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)
