@@ -14,7 +14,7 @@ batch-first; densities are evaluated with logsumexp for stability.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ import dataclasses
 import json
 import os
 import time
-from functools import partial
 from typing import Optional
 
 import jax

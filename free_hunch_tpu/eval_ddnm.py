@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 
 import jax
-import jax.numpy as jnp
 
 from free_hunch_tpu.eval import Evaluator
 from free_hunch_tpu.samplers.ddnm import build_svd_operator, ddnm_sample

@@ -9,7 +9,7 @@ as an orbax/npz checkpoint so later runs never import torch.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +17,7 @@ import numpy as np
 
 from free_hunch_tpu.models.convert import load_torch_checkpoint
 from free_hunch_tpu.models.precond import IDDPMCosinePrecond, IDDPMLinearPrecond
-from free_hunch_tpu.models.unet import UNetConfig, UNetModel, create_model
+from free_hunch_tpu.models.unet import UNetModel, create_model
 
 _BOOL_KEYS = ("class_cond", "learn_sigma", "resblock_updown",
               "use_new_attention_order", "use_fp16", "use_scale_shift_norm",

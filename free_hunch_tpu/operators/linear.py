@@ -19,7 +19,6 @@ TPU redesign:
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +26,7 @@ import numpy as np
 
 from free_hunch_tpu.operators import assets, masks
 from free_hunch_tpu.operators.resize import build_resizer
-from free_hunch_tpu.ops.fftops import (downsample, fft_conv, p2o, p2o_np,
-                                       pre_calculate, upsample)
+from free_hunch_tpu.ops.fftops import downsample, fft_conv, p2o_np, upsample
 
 __OPERATOR__ = {}
 

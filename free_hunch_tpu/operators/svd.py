@@ -27,7 +27,6 @@ Vectors are (batch, N) flattened, matching the reference calling convention.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

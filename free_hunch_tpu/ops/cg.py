@@ -14,10 +14,8 @@ autograd ``CG:294``). TPU redesign:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

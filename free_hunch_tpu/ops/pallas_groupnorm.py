@@ -18,11 +18,10 @@ fallback covers odd shapes and non-TPU backends).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pltpu is only importable on TPU-enabled builds

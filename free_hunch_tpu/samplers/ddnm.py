@@ -15,7 +15,7 @@ re-noising step under ``lax.cond``. Everything is batched.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp

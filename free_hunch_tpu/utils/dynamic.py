@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import hashlib
 import importlib
-import io
 import os
 import re
 from typing import Any, Optional, Tuple

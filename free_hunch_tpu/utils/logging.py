@@ -9,7 +9,6 @@ from __future__ import annotations
 import logging
 import os
 import sys
-from typing import Optional
 
 
 def setup_logger(name: str = "free_hunch_tpu", level=logging.INFO) -> logging.Logger:

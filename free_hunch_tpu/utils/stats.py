@@ -11,7 +11,7 @@ present, and is a no-op otherwise.
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
