@@ -167,8 +167,8 @@ class Evaluator:
 
     # -- the compiled per-batch function ---------------------------------------
 
-    def _batch_fn(self, params, noise, cond_latents, operator, key):
-        denoise = lambda x, s: self.precond.apply(params, x, s)
+    def _batch_fn(self, params, noise, cond_latents, operator, key, labels=None):
+        denoise = lambda x, s: self.precond.apply(params, x, s, y=labels)
         mech = self._mech_builder(operator)
         y = operator.forward(cond_latents, noiseless=False,
                              key=jax.random.fold_in(key, 0))
@@ -202,12 +202,19 @@ class Evaluator:
 
         for start in range(0, len(self.indices), self.batch_size):
             idx_chunk = self.indices[start:start + self.batch_size]
-            imgs, gidx = [], []
+            imgs, gidx, labs = [], [], []
             for i in idx_chunk:
-                di, img, _lab = self.dataset[int(i)]
+                di, img, lab = self.dataset[int(i)]
                 imgs.append(img)
                 gidx.append(int(di))
+                labs.append(lab)
             cond_u8 = np.stack(imgs)  # (b, C, H, W) uint8
+            # class-conditional models: onehot labels -> class indices,
+            # repeated per seed; unconditional datasets carry empty labels
+            labels = None
+            if getattr(self.precond, "label_dim", 0) and np.size(labs[0]):
+                labels = jnp.asarray(np.repeat(
+                    np.argmax(np.stack(labs), axis=-1), n_seeds), jnp.int32)
             cond_rep = np.repeat(cond_u8, n_seeds, axis=0)
             cond_latents = self.encoder.encode(jnp.asarray(cond_rep))
 
@@ -224,7 +231,8 @@ class Evaluator:
                              ).get("data", 1)
             if noise.shape[0] % max(data_axis, 1) == 0:
                 noise, cond_latents = shard_batch((noise, cond_latents), self.mesh)
-            x, y = self._run_batch(self.params, noise, cond_latents, op, batch_key)
+            x, y = self._run_batch(self.params, noise, cond_latents, op,
+                                   batch_key, labels)
 
             gen_u8 = np.asarray(self.encoder.decode(x))
             y_u8 = np.asarray(self.encoder.decode(y))

@@ -29,11 +29,11 @@ class DDNMEvaluator(Evaluator):
             self._svd_template = build_svd_operator(
                 self.operator_kwargs, self.res)
 
-    def _batch_fn(self, params, noise, cond_latents, operator, key):
+    def _batch_fn(self, params, noise, cond_latents, operator, key, labels=None):
         b = noise.shape[0]
 
         def eps_fn(x, t):
-            out = self.model.apply(params, x, t)
+            out = self.model.apply(params, x, t, y=labels)
             return out[:, :3]  # strip the learned-variance channel (ref :107)
 
         y = operator.A(cond_latents.reshape(b, -1))

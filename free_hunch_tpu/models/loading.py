@@ -78,9 +78,12 @@ def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
             pass
     elif init_random_if_missing:
         res = model_args.get("image_size", 256)
+        init_kwargs = {}
+        if model_args.get("class_cond"):
+            init_kwargs["y"] = jnp.zeros((1,), jnp.int32)
         params = model.init(jax.random.PRNGKey(rng_seed),
                             jnp.zeros((1, 3, res, res), jnp.float32),
-                            jnp.zeros((1,), jnp.float32))
+                            jnp.zeros((1,), jnp.float32), **init_kwargs)
     else:
         raise FileNotFoundError(
             f"checkpoint {state_dict_path!r} not found; download it per the "

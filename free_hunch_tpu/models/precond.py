@@ -102,6 +102,9 @@ class IDDPMLinearPrecond:
         """D(x, sigma) -> (x0_mean in [-1,1], x0_var). x: (N, C, H, W) f32."""
         x = x.astype(jnp.float32)
         sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32).reshape(-1), (x.shape[0],))
+        if self.label_dim and y is None:
+            # reference default: zero labels when none are given (:170)
+            y = jnp.zeros((x.shape[0],), jnp.int32)
         c_out = -sigma
         c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)
         idx = self.round_sigma(sigma, return_index=True)
@@ -158,6 +161,8 @@ class IDDPMCosinePrecond:
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = x.astype(jnp.float32)
         sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32).reshape(-1), (x.shape[0],))
+        if self.label_dim and y is None:
+            y = jnp.zeros((x.shape[0],), jnp.int32)
         c_out = -sigma
         c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)
         c_noise = (self.M - 1 - self.round_sigma(sigma, return_index=True)).astype(jnp.float32)

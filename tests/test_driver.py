@@ -100,3 +100,42 @@ def test_cli_entry(tmp_path, setup32, monkeypatch):
     results = gc.cmdline(argv)
     assert np.isfinite(results["psnr"])
     assert os.path.exists(os.path.join(str(tmp_path / "out"), "output.log"))
+
+
+def test_evaluator_class_conditional(tmp_path):
+    """Labels flow from dataset.json through the sampler into the UNet."""
+    import json
+
+    import PIL.Image
+    from free_hunch_tpu.eval import Evaluator
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(2):
+        arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        name = f"img{i:04d}.png"
+        PIL.Image.fromarray(arr).save(ds / name)
+        names.append(name)
+    (ds / "dataset.json").write_text(json.dumps(
+        {"labels": [[names[0], 3], [names[1], 7]]}))
+
+    setup = tmp_path / "setup.txt"
+    setup.write_text("--channel_mult 1,2 --attention_resolutions 8 "
+                     "--class_cond True --diffusion_steps 1000 --dropout 0.0 "
+                     "--image_size 32 --learn_sigma True --noise_schedule linear "
+                     "--num_channels 32 --num_head_channels 16 --num_res_blocks 1 "
+                     "--resblock_updown True --use_fp16 False "
+                     "--use_scale_shift_norm True --use_new_attention_order False")
+    opts = load_config(args=dict(outdir=str(tmp_path / "out")))
+    opts.update(openai_state_dict_path=str(tmp_path / "missing.pt"),
+                openai_setup_path=str(setup), allow_random_init=True,
+                dataset_path=str(ds), total_images=2, batch_size=2, num_steps=2,
+                conditioning_mechanism="dps", operator_name="inpainting",
+                mesh_shape="data:1", dtype="float32", cg_maxiter=10, seeds=[0])
+    ev = Evaluator(opts)
+    ev.dataset = type(ev.dataset)(str(ds), resolution=32, return_idx=True,
+                                  use_labels=True)
+    results = ev.run()
+    assert np.isfinite(results["psnr"])
