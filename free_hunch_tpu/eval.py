@@ -141,6 +141,7 @@ class Evaluator:
             # (eval_ddnm.DDNMEvaluator) installs its own batch function
             self._mech_builder = None
             self._run_batch = jax.jit(self._batch_fn)
+            self._install_codecs()
             self._lpips = lpips_fn("vgg")
             return
         mech_cls = choose_conditioning_mechanism(mech_name)
@@ -163,7 +164,28 @@ class Evaluator:
         self._mech_builder = lambda op: mech_cls(forward_operator=op, **mkw)
 
         self._run_batch = jax.jit(self._batch_fn)
+        self._install_codecs()
         self._lpips = lpips_fn("vgg")
+
+    def _install_codecs(self):
+        """Every device computation outside the main batch function also runs
+        under jit: remote TPU backends (axon) mis-handle eagerly dispatched
+        ops — their outputs can neither transfer to the host nor feed later
+        computations reliably."""
+        self._decode = jax.jit(self.encoder.decode)
+        self._encode = jax.jit(self.encoder.encode)
+        res = self.res
+
+        def gen_noise(seeds):
+            return jax.vmap(lambda sd: jax.random.normal(
+                jax.random.PRNGKey(sd), (3, res, res)))(seeds)
+
+        self._gen_noise = jax.jit(gen_noise)
+        if self.is_inpainting:
+            opt = dict(self.operator_kwargs["mask_opt"])
+            self._gen_masks = jax.jit(
+                lambda keys: jax.vmap(
+                    lambda k: mask_mod.generate_mask(k, opt, 3)[0])(keys))
 
     # -- the compiled per-batch function ---------------------------------------
 
@@ -182,11 +204,9 @@ class Evaluator:
         operator per image, measurements.py:211); shared operator otherwise."""
         if not self.is_inpainting:
             return self._template_op
-        opt = self.operator_kwargs["mask_opt"]
-        per_img = [mask_mod.generate_mask(k, opt, 3) for k in batch_keys]
-        mask = jnp.concatenate(per_img, axis=0)
+        masks_b = self._gen_masks(jnp.stack(batch_keys))  # (b, C, H, W)
         # every seed-replica of an image shares its mask
-        mask = jnp.repeat(mask, len(self.seeds), axis=0)
+        mask = jnp.repeat(masks_b, len(self.seeds), axis=0)
         return get_operator(**self.operator_kwargs, mask=mask)
 
     # -- main loop ---------------------------------------------------------------
@@ -209,20 +229,18 @@ class Evaluator:
                 gidx.append(int(di))
                 labs.append(lab)
             cond_u8 = np.stack(imgs)  # (b, C, H, W) uint8
+            cond_rep = np.repeat(cond_u8, n_seeds, axis=0)
+            cond_latents = self._encode(jnp.asarray(cond_rep))
             # class-conditional models: onehot labels -> class indices,
             # repeated per seed; unconditional datasets carry empty labels
             labels = None
             if getattr(self.precond, "label_dim", 0) and np.size(labs[0]):
                 labels = jnp.asarray(np.repeat(
                     np.argmax(np.stack(labs), axis=-1), n_seeds), jnp.int32)
-            cond_rep = np.repeat(cond_u8, n_seeds, axis=0)
-            cond_latents = self.encoder.encode(jnp.asarray(cond_rep))
-
-            # per-(image, seed) noise; per-image mask keys
-            noise = jnp.concatenate([
-                jax.random.normal(jax.random.PRNGKey(int(s) % (1 << 31)),
-                                  (1, 3, self.res, self.res))
-                for g in gidx for s in self.seeds], axis=0)
+            # per-(image, seed) noise via one jitted vmapped draw
+            seed_arr = jnp.asarray([int(s) % (1 << 31) for g in gidx
+                                    for s in self.seeds], jnp.int32)
+            noise = self._gen_noise(seed_arr)
             op = self._make_operator(
                 [jax.random.fold_in(self.key, 1000 + g) for g in gidx])
             batch_key = jax.random.fold_in(self.key, n_batches)
@@ -234,8 +252,8 @@ class Evaluator:
             x, y = self._run_batch(self.params, noise, cond_latents, op,
                                    batch_key, labels)
 
-            gen_u8 = np.asarray(self.encoder.decode(x))
-            y_u8 = np.asarray(self.encoder.decode(y))
+            gen_u8 = np.asarray(self._decode(x))
+            y_u8 = np.asarray(self._decode(y))
 
             # --- save artifacts (reference :517-537) -------------------------
             names = [f"{g:06d}_{s:06d}.png" for g in gidx for s in self.seeds]
