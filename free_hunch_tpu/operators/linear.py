@@ -144,8 +144,21 @@ class _FFTBlurOperator(LinearOperator):
         # host-numpy constants (embedded at trace time, never read back)
         self.kernel = np.asarray(kernel, np.float32)
         FB = p2o_np(self.kernel.reshape(1, 1, *self.kernel.shape), (h, w))
-        self.FB, self.FBC = FB, np.conj(FB)
+        # the OTF is stored as stacked (real, imag) float32 so the operator
+        # pytree has no complex leaves: complex leaves are fine as trace-time
+        # constants but cannot be device_put as jit *arguments* on remote TPU
+        # backends; f32 leaves transfer everywhere and the complex view is
+        # rebuilt in-trace (XLA represents complex as such a pair anyway)
+        self.FB_ri = np.stack([FB.real, FB.imag]).astype(np.float32)
         self.F2B = (np.abs(FB) ** 2).astype(np.float32)
+
+    @property
+    def FB(self):
+        return self.FB_ri[0] + 1j * self.FB_ri[1]
+
+    @property
+    def FBC(self):
+        return self.FB_ri[0] - 1j * self.FB_ri[1]
 
     def get_kernel(self):
         return jnp.asarray(self.kernel).reshape(1, 1, *self.kernel.shape)
@@ -209,8 +222,17 @@ class SuperResolutionOperator(LinearOperator):
         # host-numpy constants
         k = assets.bicubic_sr_kernel(self.scale_factor).astype(np.float32)
         FB = p2o_np(k.reshape(1, 1, *k.shape), (h, w))
-        self.FB, self.FBC = FB, np.conj(FB)
+        # stacked (real, imag) f32 — see _FFTBlurOperator._init_kernel
+        self.FB_ri = np.stack([FB.real, FB.imag]).astype(np.float32)
         self.F2B = (np.abs(FB) ** 2).astype(np.float32)
+
+    @property
+    def FB(self):
+        return self.FB_ri[0] + 1j * self.FB_ri[1]
+
+    @property
+    def FBC(self):
+        return self.FB_ri[0] - 1j * self.FB_ri[1]
 
     @property
     def pre_calculated(self):
@@ -293,10 +315,10 @@ class PhaseRetrievalOperator(NonLinearOperator):
 # Pytree registrations: device arrays as leaves, config as static aux.
 register_operator_pytree(DenoiseOperator, ("sigma_s",))
 register_operator_pytree(ColorizationOperator, ("sigma_s",))
-register_operator_pytree(GaussianBlurOperator, ("sigma_s", "kernel", "FB", "FBC", "F2B"))
-register_operator_pytree(MotionBlurOperator, ("sigma_s", "kernel", "FB", "FBC", "F2B"))
+register_operator_pytree(GaussianBlurOperator, ("sigma_s", "kernel", "FB_ri", "F2B"))
+register_operator_pytree(MotionBlurOperator, ("sigma_s", "kernel", "FB_ri", "F2B"))
 register_operator_pytree(SuperResolutionOperator,
-                         ("sigma_s", "FB", "FBC", "F2B",
+                         ("sigma_s", "FB_ri", "F2B",
                           "_up_adjoint_h", "_up_adjoint_w"))
 register_operator_pytree(InpaintingOperator, ("sigma_s", "mask"))
 register_operator_pytree(PhaseRetrievalOperator, ("sigma_s",))
