@@ -185,3 +185,31 @@ def test_centered_fft_roundtrip():
     # Parseval
     np.testing.assert_allclose(float(jnp.sum(jnp.abs(fft2c(x))**2)),
                                float(jnp.sum(jnp.abs(x)**2)), rtol=1e-5)
+
+
+def test_operators_cross_jit_boundary_as_arguments():
+    """Operators must flow through jit as ARGUMENTS (per-image masks/kernels
+    without retracing) with float-only pytree leaves: complex leaves embed
+    fine as trace-time constants but cannot be device_put as jit arguments on
+    remote TPU backends, so OTFs are stored as stacked (real, imag) f32."""
+    x = _rand(SHAPE, 3)
+    fwd = jax.jit(lambda o, v: o.forward(v, noiseless=True))
+    for name, kw in [("noise", {}), ("colorization", {}),
+                     ("gaussian_blur", {}), ("motion_blur", {}),
+                     ("super_resolution", dict(scale_factor=4)),
+                     ("inpainting", dict(mask_key=jax.random.PRNGKey(0),
+                                         mask_opt={"mask_type": "random",
+                                                   "image_size": 64,
+                                                   "mask_prob_range": (0.2, 0.4)}))]:
+        op = get_operator(name=name, in_shape=SHAPE, sigma_s=0.1, **kw)
+        for leaf in jax.tree.leaves(op):
+            assert not np.iscomplexobj(leaf), (name, getattr(leaf, "dtype", leaf))
+        np.testing.assert_allclose(np.asarray(fwd(op, x)),
+                                   np.asarray(op.forward(x, noiseless=True)),
+                                   rtol=1e-5, atol=1e-5)
+    # pytree round-trip preserves behaviour (flatten/unflatten identity)
+    op = get_operator(name="gaussian_blur", in_shape=SHAPE, sigma_s=0.1)
+    leaves, treedef = jax.tree.flatten(op)
+    op2 = jax.tree.unflatten(treedef, leaves)
+    np.testing.assert_allclose(np.asarray(op2.forward(x, noiseless=True)),
+                               np.asarray(op.forward(x, noiseless=True)))
