@@ -215,6 +215,14 @@ class Evaluator:
         opts = self.opts
         outdir = opts["outdir"]
         os.makedirs(outdir, exist_ok=True)
+        if self.rank == 0:
+            # per-run config dump for reproducibility + the visualisation tool
+            # (the reference's create_image_visualisation.py expected one that
+            # its driver never wrote — SURVEY.md §7.4)
+            with open(os.path.join(outdir, "config.json"), "w") as f:
+                json.dump({k: v for k, v in sorted(dict(opts).items())
+                           if isinstance(v, (str, int, float, bool, list,
+                                             tuple, type(None)))}, f, indent=2)
         n_seeds = len(self.seeds)
         totals = dict(psnr=0.0, ssim=0.0, lpips=0.0)
         n_batches = 0
