@@ -148,8 +148,13 @@ def ddnm_sample(eps_fn: Callable, a_funcs, noise: jnp.ndarray, y: jnp.ndarray,
                        + eps * jnp.sqrt(1 - at_next))
             return xt_next, x0_pred
 
-        xt_next, x0_pred = jax.lax.cond(step["forward"], forward_step,
-                                        travel_step, (xt, x0_pred))
+        # pin both branches to the carry dtype (an eps_fn that promotes to
+        # f64 under jax_enable_x64 would otherwise mismatch the travel branch)
+        dt = xt.dtype
+        xt_next, x0_pred = jax.lax.cond(
+            step["forward"],
+            lambda a: jax.tree.map(lambda v: v.astype(dt), forward_step(a)),
+            travel_step, (xt, x0_pred))
         return (xt_next, x0_pred), None
 
     (x_final, x0_last), _ = jax.lax.scan(body, (noise, jnp.zeros_like(noise)), xs)

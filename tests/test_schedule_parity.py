@@ -179,3 +179,57 @@ def test_sampler_loop_parity(ref_sampler, disc, sched, scal, solver, alpha, chur
     np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), rtol=2e-4, atol=2e-4)
     scale = max(np.abs(x_ref).max(), 1.0)
     np.testing.assert_allclose(x / scale, x_ref / scale, rtol=0, atol=5e-3)
+
+
+def test_ddnm_sampler_loop_parity(ref_sampler):
+    """DDNM+ loop parity (reference custom_ddnm_sampling.py:10-136) with
+    eta=0 and sigma_y=0: every random branch coefficient vanishes (d1_t=0 and
+    the singular-threshold branches are gated on sigma_y != 0,
+    svd_operators.py:1161+), the remaining Lambda_noise term uses the
+    *predicted* epsilon, and the measurement is noiseless — so both loops are
+    fully deterministic and must agree: schedule jumps, compute_alpha's
+    zero-prepended beta grid, Eq. 12/17/51, and the SVD operator factors.
+
+    Uses super_resolution: the reference's DDNM Deblurring mis-pairs its
+    Kronecker U/V columns (its A deviates ~0.19 from the true separable
+    convolution even unthresholded — the tiled-vs-interleaved layout defect,
+    SURVEY.md §7.4), which our exact implementation does not replicate, so
+    gaussian_blur cannot match bit-for-bit by construction."""
+    res, steps = 32, 5
+
+    class _EpsNet(torch.nn.Module):
+        betas = torch.linspace(1e-4, 0.02, 1000, dtype=torch.float32)
+
+        def model(self, x, t, classes=None):
+            return torch.tanh(x) * (0.1 + 1e-4 * t.view(-1, 1, 1, 1))
+
+    def eps_jax(x, t):
+        return jnp.tanh(x) * (0.1 + 1e-4 * t.reshape(-1, 1, 1, 1))
+
+    rng = np.random.default_rng(3)
+    noise = rng.standard_normal((1, 3, res, res)).astype(np.float32)
+    cond = rng.uniform(-1, 1, (1, 3, res, res)).astype(np.float32)
+    op_kw = dict(name="super_resolution", scale_factor=4)
+    nz_kw = dict(sigma=0.0)
+
+    cwd = os.getcwd()
+    os.chdir("/root/reference")  # relative kernel asset path at call time
+    try:
+        x_ref, _, y_ref = ref_sampler.ddnm_conditional_sampler(
+            _EpsNet(), torch.from_numpy(noise), torch.from_numpy(cond),
+            op_kw, nz_kw, num_steps=steps, eta=0.0,
+            use_ddnm_kernel_params=False)
+    finally:
+        os.chdir(cwd)
+    x_ref = x_ref.detach().numpy()
+
+    from free_hunch_tpu.samplers.ddnm import ddnm_conditional_sampler
+    x, _, y = ddnm_conditional_sampler(
+        eps_jax, jnp.asarray(noise), jnp.asarray(cond), op_kw, nz_kw,
+        num_steps=steps, eta=0.0, rng_key=jax.random.PRNGKey(0))
+    x = np.asarray(x)
+
+    np.testing.assert_allclose(np.asarray(y).reshape(y_ref.shape),
+                               y_ref.numpy(), rtol=1e-4, atol=1e-4)
+    scale = max(np.abs(x_ref).max(), 1.0)
+    np.testing.assert_allclose(x / scale, x_ref / scale, rtol=0, atol=5e-3)
