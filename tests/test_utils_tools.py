@@ -51,6 +51,10 @@ def test_psnr_ssim_match_definitions():
 @pytest.mark.skipif(not os.path.exists("/opt/venv"), reason="env check only")
 def test_ssim_matches_skimage_if_available():
     skimage = pytest.importorskip("skimage.metrics")
+    if not hasattr(skimage, "structural_similarity"):
+        # another test may have installed an empty skimage stub for the
+        # reference-oracle imports (test_schedule_parity.py)
+        pytest.skip("skimage stubbed, real scikit-image unavailable")
     from free_hunch_tpu.metrics.quality import ssim
     rng = np.random.default_rng(3)
     a = rng.uniform(0, 255, (3, 64, 64)).astype(np.float32)
