@@ -120,6 +120,10 @@ class Evaluator:
         self.indices = shard_indices(total, self.world, self.rank)
         self.seeds = list(opts.get("seeds", [0]))
         self.batch_size = max(int(opts.get("batch_size", 1)), 1)
+        # real multi-frame trajectory videos (the reference's save_videos
+        # :266-281 only ever receives the initial-noise frame because its
+        # sampler never appends to x_all:118 — we wire the full trajectory)
+        self.save_videos = bool(opts.get("save_videos", False))
 
         # --- schedule + operator + mechanism ---------------------------------
         sched_kw = {k: opts[k] for k in _SCHEDULE_KEYS if k in opts and opts[k] is not None}
@@ -155,7 +159,10 @@ class Evaluator:
             if k in opts:
                 mkw[k] = opts[k]
         if mech_name == "online_covariance":
-            mkw.update(transport_mean_bound=1.0,
+            # robustness knobs (config keys; None = reference behaviour,
+            # see docs/design.md "Robustness knobs" for the A/B)
+            mkw.update(transport_mean_bound=opts.get("transport_mean_bound"),
+                       guidance_update_bound=opts.get("guidance_update_bound"),
                        init_denoiser_variance=1.0,
                        init_noise_variance=float(self.sigma0_scaled) ** 2,
                        data_dim=3 * self.res * self.res,
@@ -194,10 +201,11 @@ class Evaluator:
         mech = self._mech_builder(operator)
         y = operator.forward(cond_latents, noiseless=False,
                              key=jax.random.fold_in(key, 0))
-        x, _ = sample_scan(denoise, mech, noise, y, self.xs,
-                           jax.random.fold_in(key, 1),
-                           sigma0_scaled=self.sigma0_scaled)
-        return x, y
+        x, traj = sample_scan(denoise, mech, noise, y, self.xs,
+                              jax.random.fold_in(key, 1),
+                              sigma0_scaled=self.sigma0_scaled,
+                              return_trajectory=self.save_videos)
+        return x, (traj if self.save_videos else None), y
 
     def _make_operator(self, batch_keys):
         """Fresh random mask per image for inpainting (reference: fresh
@@ -224,7 +232,7 @@ class Evaluator:
                            if isinstance(v, (str, int, float, bool, list,
                                              tuple, type(None)))}, f, indent=2)
         n_seeds = len(self.seeds)
-        totals = dict(psnr=0.0, ssim=0.0, lpips=0.0)
+        acc = MetricAccumulator("psnr", "ssim", "lpips")
         n_batches = 0
         t0 = time.time()
 
@@ -257,8 +265,8 @@ class Evaluator:
                              ).get("data", 1)
             if noise.shape[0] % max(data_axis, 1) == 0:
                 noise, cond_latents = shard_batch((noise, cond_latents), self.mesh)
-            x, y = self._run_batch(self.params, noise, cond_latents, op,
-                                   batch_key, labels)
+            x, traj, y = self._run_batch(self.params, noise, cond_latents, op,
+                                         batch_key, labels)
 
             gen_u8 = np.asarray(self._decode(x))
             y_u8 = np.asarray(self._decode(y))
@@ -270,8 +278,13 @@ class Evaluator:
             if opts.get("num_other_images_to_save", 0) > 0:
                 _save_images(cond_rep, os.path.join(outdir, "cond_images"), names)
                 _save_images(y_u8, os.path.join(outdir, "forward_images"), names)
-            if opts.get("save_videos", False):
-                _save_videos([gen_u8], os.path.join(outdir, "videos"), names)
+            if self.save_videos and traj is not None:
+                # (T, B, C, H, W) -> T decoded frames of (B, C, H, W)
+                t_steps = traj.shape[0]
+                flat = jnp.reshape(traj, (-1,) + tuple(traj.shape[2:]))
+                dec = np.asarray(self._decode(flat))
+                frames = dec.reshape((t_steps, -1) + dec.shape[1:])
+                _save_videos(list(frames), os.path.join(outdir, "videos"), names)
 
             # --- metrics (reference :543-551); one jitted vmapped call -------
             if not hasattr(self, "_metric_fn"):
@@ -285,17 +298,14 @@ class Evaluator:
             s_vals = np.asarray(s_all)
             lp = self._lpips(cond_rep.astype(np.float32) / 127.5 - 1,
                              gen_u8.astype(np.float32) / 127.5 - 1)
-            totals["psnr"] += p
-            totals["ssim"] += float(np.mean(s_vals))
-            totals["lpips"] += float(lp)
+            acc.add(gen_u8.shape[0], psnr=p, ssim=float(np.mean(s_vals)),
+                    lpips=float(lp))
             n_batches += 1
             logger.info(f"batch {n_batches}: psnr={p:.3f} ssim={np.mean(s_vals):.4f} "
                         f"lpips={lp:.4f}")
 
         elapsed = time.time() - t0
-        for k in totals:
-            totals[k] /= max(n_batches, 1)
-        totals = _process_mean(totals)
+        totals = _process_mean(acc.means(), acc.count)
         totals["time_taken"] = elapsed
         totals["images"] = len(self.indices) * n_seeds
         totals["lpips_is_proxy"] = bool(getattr(self._lpips, "is_proxy", False))
@@ -311,15 +321,41 @@ class Evaluator:
         return totals
 
 
-def _process_mean(totals: dict) -> dict:
-    """Cross-process metric mean (reference all_reduce/world :557-569)."""
+class MetricAccumulator:
+    """Sample-weighted running mean of named metrics. Guards against the
+    ragged-final-batch bias: per-batch means are re-weighted by batch size
+    before aggregation (the reference averages per-batch means,
+    generate_conditional.py:549-569 — SURVEY.md §7.4)."""
+
+    def __init__(self, *names: str):
+        self.sums = {n: 0.0 for n in names}
+        self.count = 0
+
+    def add(self, batch_size: int, **batch_means: float):
+        for n, v in batch_means.items():
+            self.sums[n] += float(v) * batch_size
+        self.count += batch_size
+
+    def means(self) -> dict:
+        d = max(self.count, 1)
+        return {n: s / d for n, s in self.sums.items()}
+
+
+def _process_mean(means: dict, n_samples: int) -> dict:
+    """Cross-process SAMPLE-weighted metric mean. The reference all-reduces
+    per-rank batch averages (generate_conditional.py:557-569), which is wrong
+    for unequal shards; we gather (sum, count) pairs and divide once."""
     if get_world_size() > 1:
         from jax.experimental import multihost_utils
-        arr = np.asarray([totals["psnr"], totals["ssim"], totals["lpips"]])
-        mean = np.asarray(multihost_utils.process_allgather(arr)).mean(axis=0)
-        totals = dict(totals, psnr=float(mean[0]), ssim=float(mean[1]),
-                      lpips=float(mean[2]))
-    return totals
+        n = float(n_samples)
+        arr = np.asarray([means["psnr"] * n, means["ssim"] * n,
+                          means["lpips"] * n, n])
+        gathered = np.asarray(multihost_utils.process_allgather(arr))
+        sums = gathered[:, :3].sum(axis=0)
+        count = max(gathered[:, 3].sum(), 1.0)
+        return dict(means, psnr=float(sums[0] / count),
+                    ssim=float(sums[1] / count), lpips=float(sums[2] / count))
+    return dict(means)
 
 
 def _save_images(images_u8: np.ndarray, image_dir: str, names) -> None:
@@ -330,7 +366,9 @@ def _save_images(images_u8: np.ndarray, image_dir: str, names) -> None:
 
 
 def _save_videos(frames_list, video_dir: str, names) -> None:
-    """mp4 of the trajectory per sample (reference save_videos:266-281)."""
+    """mp4 of the sampling trajectory per sample, one frame per ODE step
+    (reference save_videos:266-281 — which upstream only ever fed the initial
+    noise frame; here ``frames_list`` is the real T-frame trajectory)."""
     import cv2
     os.makedirs(video_dir, exist_ok=True)
     n = frames_list[0].shape[0]
@@ -339,7 +377,7 @@ def _save_videos(frames_list, video_dir: str, names) -> None:
         h, w = frames_list[0][i].shape[-2:]
         vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
         for frames in frames_list:
-            im = frames[i].transpose(1, 2, 0)
+            im = np.ascontiguousarray(frames[i].transpose(1, 2, 0))
             vw.write(cv2.cvtColor(im, cv2.COLOR_RGB2BGR))
         vw.release()
 

@@ -39,16 +39,17 @@ class DDNMEvaluator(Evaluator):
         y = operator.A(cond_latents.reshape(b, -1))
         y = y + self.sigma_y * jax.random.normal(jax.random.fold_in(key, 0),
                                                  y.shape, y.dtype)
-        x, _ = ddnm_sample(eps_fn, operator, noise, y,
-                           num_steps=self.num_steps, sigma_y=self.sigma_y,
-                           eta=self.eta, rng_key=jax.random.fold_in(key, 1))
+        x, traj = ddnm_sample(eps_fn, operator, noise, y,
+                              num_steps=self.num_steps, sigma_y=self.sigma_y,
+                              eta=self.eta, rng_key=jax.random.fold_in(key, 1),
+                              return_trajectory=self.save_videos)
         # measurement image for the forward_images/ output directory
         if self.operator_kwargs["name"] == "inpainting":
             y_img = operator.A_with_zeros(cond_latents.reshape(b, -1)).reshape(
                 cond_latents.shape)
         else:
             y_img = operator.At(y).reshape(cond_latents.shape)
-        return x, y_img
+        return x, (traj if self.save_videos else None), y_img
 
     def _make_operator(self, batch_keys):
         if self._svd_template is not None:

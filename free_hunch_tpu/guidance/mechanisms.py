@@ -60,8 +60,25 @@ def choose_conditioning_mechanism(name: str):
 
 
 class EmptyState(NamedTuple):
-    """Carry for stateless mechanisms."""
-    step: jnp.ndarray  # () int32
+    """Carry for stateless mechanisms. ``cg_niter``/``cg_resnorm`` record the
+    most recent guidance solve's iteration count and mean final residual (the
+    reference computes but discards its torch-CG info dict, cg.py:116)."""
+    step: jnp.ndarray       # () int32
+    cg_niter: jnp.ndarray   # () int32 — iterations of the last mat solve
+    cg_resnorm: jnp.ndarray  # () f32 — batch-mean final residual norm
+
+
+def _empty_state() -> EmptyState:
+    return EmptyState(step=jnp.asarray(0, jnp.int32),
+                      cg_niter=jnp.asarray(0, jnp.int32),
+                      cg_resnorm=jnp.asarray(0.0, jnp.float32))
+
+
+def _record_cg(state, info):
+    """Stamp a solve's CGInfo onto the mechanism state."""
+    return state._replace(cg_niter=jnp.asarray(info.niter, jnp.int32),
+                          cg_resnorm=jnp.mean(info.residual_norm)
+                          .astype(jnp.float32))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,7 +94,7 @@ class ConditioningMechanism:
     cg_maxiter: Optional[int] = None
 
     def init_state(self, batch: int, img_shape: Tuple[int, ...]):
-        return EmptyState(step=jnp.asarray(0, jnp.int32))
+        return _empty_state()
 
     def __call__(self, denoise: Callable, x_t, y, sigma, state):
         x0_new, state = self.x0_mean_update(denoise, x_t, y, sigma, state)
@@ -124,12 +141,12 @@ class PiGDM(ConditioningMechanism):
     def x0_mean_update(self, denoise, x_t, y, sigma, state):
         x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
         x0_var = sigma**2 / (1 + sigma**2)
-        mat = choose_solver(self.forward_operator, y, x0, theta0_var=x0_var,
-                            method="scipy", max_rtol=self.max_rtol,
-                            maxiter=self.cg_maxiter)
+        mat, info = choose_solver(self.forward_operator, y, x0, theta0_var=x0_var,
+                                  method="scipy", max_rtol=self.max_rtol,
+                                  maxiter=self.cg_maxiter, return_info=True)
         grad = pullback(jax.lax.stop_gradient(mat))
         scale = (x0_var if self.pigdm_posthoc_scaling else 1.0) * self.cond_scaling
-        return x0 + grad * scale * sigma**2, self._bump(state)
+        return x0 + grad * scale * sigma**2, _record_cg(self._bump(state), info)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,11 +156,12 @@ class PiGDMVideodiffSchedule(ConditioningMechanism):
 
     def x0_mean_update(self, denoise, x_t, y, sigma, state):
         x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
-        mat = choose_solver(self.forward_operator, y, x0, theta0_var=sigma**2,
-                            method="scipy", max_rtol=self.max_rtol,
-                            maxiter=self.cg_maxiter)
+        mat, info = choose_solver(self.forward_operator, y, x0, theta0_var=sigma**2,
+                                  method="scipy", max_rtol=self.max_rtol,
+                                  maxiter=self.cg_maxiter, return_info=True)
         grad = pullback(jax.lax.stop_gradient(mat))
-        return x0 + grad * self.cond_scaling * sigma**2, self._bump(state)
+        return (x0 + grad * self.cond_scaling * sigma**2,
+                _record_cg(self._bump(state), info))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,11 +176,12 @@ class PengConvert(ConditioningMechanism):
         mle_var = sigma**2 / (1 + sigma**2)
         var = jnp.where(sigma < self.mle_sigma_thres, x0_var,
                         jnp.broadcast_to(mle_var, x0_var.shape))
-        mat = choose_solver(self.forward_operator, y, x0, theta0_var=var,
-                            method="scipy", max_rtol=self.max_rtol,
-                            maxiter=self.cg_maxiter)
+        mat, info = choose_solver(self.forward_operator, y, x0, theta0_var=var,
+                                  method="scipy", max_rtol=self.max_rtol,
+                                  maxiter=self.cg_maxiter, return_info=True)
         grad = pullback(jax.lax.stop_gradient(mat))
-        return x0 + grad * self.cond_scaling * sigma**2, self._bump(state)
+        return (x0 + grad * self.cond_scaling * sigma**2,
+                _record_cg(self._bump(state), info))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -182,11 +201,12 @@ class PengAnalytic(ConditioningMechanism):
         idx = jnp.argmin(jnp.abs(sigmas - sigma))
         var = jnp.where(sigma < self.mle_sigma_thres, mses[idx],
                         sigma**2 / (1 + sigma**2))
-        mat = choose_solver(self.forward_operator, y, x0, theta0_var=var,
-                            method="scipy", max_rtol=self.max_rtol,
-                            maxiter=self.cg_maxiter)
+        mat, info = choose_solver(self.forward_operator, y, x0, theta0_var=var,
+                                  method="scipy", max_rtol=self.max_rtol,
+                                  maxiter=self.cg_maxiter, return_info=True)
         grad = pullback(jax.lax.stop_gradient(mat))
-        return x0 + grad * self.cond_scaling * sigma**2, self._bump(state)
+        return (x0 + grad * self.cond_scaling * sigma**2,
+                _record_cg(self._bump(state), info))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -199,13 +219,14 @@ class TMPD(ConditioningMechanism):
     def x0_mean_update(self, denoise, x_t, y, sigma, state):
         x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
         x0_var = pullback(jnp.ones_like(x0)) * sigma**2
-        mat = choose_solver(self.forward_operator, y, x0,
-                            theta0_var=jax.lax.stop_gradient(x0_var),
-                            method="scipy", max_rtol=self.max_rtol,
-                            sigma_t=sigma, use_rtol_func=True,
-                            maxiter=self.cg_maxiter)
+        mat, info = choose_solver(self.forward_operator, y, x0,
+                                  theta0_var=jax.lax.stop_gradient(x0_var),
+                                  method="scipy", max_rtol=self.max_rtol,
+                                  sigma_t=sigma, use_rtol_func=True,
+                                  maxiter=self.cg_maxiter, return_info=True)
         grad = pullback(jax.lax.stop_gradient(mat))
-        return x0 + grad * self.cond_scaling * sigma**2, self._bump(state)
+        return (x0 + grad * self.cond_scaling * sigma**2,
+                _record_cg(self._bump(state), info))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -217,10 +238,10 @@ class DiffPIR(ConditioningMechanism):
     def x0_mean_update(self, denoise, x_t, y, sigma, state):
         x0, _ = denoise(x_t, sigma)
         x0_var = sigma**2 / self.diffpir_lambda
-        mat = choose_solver(self.forward_operator, y, x0, theta0_var=x0_var,
-                            method="scipy", max_rtol=self.max_rtol,
-                            maxiter=self.cg_maxiter)
-        return x0 + mat * x0_var, self._bump(state)
+        mat, info = choose_solver(self.forward_operator, y, x0, theta0_var=x0_var,
+                                  method="scipy", max_rtol=self.max_rtol,
+                                  maxiter=self.cg_maxiter, return_info=True)
+        return x0 + mat * x0_var, _record_cg(self._bump(state), info)
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +257,8 @@ class FreeHunchState(NamedTuple):
     prev_x: jnp.ndarray       # (B, C, H, W)
     prev_mean: jnp.ndarray    # (B, C, H, W)
     step: jnp.ndarray         # () int32
+    cg_niter: jnp.ndarray     # () int32 — iterations of the last mat solve
+    cg_resnorm: jnp.ndarray   # () f32 — batch-mean final residual norm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -314,7 +337,9 @@ class FreeHunch(ConditioningMechanism):
         zeros = jnp.zeros((batch,) + tuple(img_shape), jnp.float32)
         return FreeHunchState(cov=cov, prev_sigma=jnp.asarray(0.0, jnp.float32),
                               prev_x=zeros, prev_mean=zeros,
-                              step=jnp.asarray(0, jnp.int32))
+                              step=jnp.asarray(0, jnp.int32),
+                              cg_niter=jnp.asarray(0, jnp.int32),
+                              cg_resnorm=jnp.asarray(0.0, jnp.float32))
 
     # -- covariance ops batched over samples ---------------------------------
 
@@ -403,7 +428,7 @@ class FreeHunch(ConditioningMechanism):
                                  method=self.solver_type, max_rtol=self.max_rtol,
                                  sigma_t=sigma, use_rtol_func=self.use_rtol_func,
                                  maxiter=self.cg_maxiter,
-                                 cov_trace_mean=cov_vbar)
+                                 cov_trace_mean=cov_vbar, return_info=True)
 
         if self.use_analytic_var_at_end:
             # low-sigma analytic-variance override (reference :273-278); only
@@ -418,12 +443,13 @@ class FreeHunch(ConditioningMechanism):
                 return choose_solver(
                     self.forward_operator, y, x0,
                     theta0_var=jnp.broadcast_to(var, x0.shape),
-                    method="scipy", max_rtol=self.max_rtol, maxiter=self.cg_maxiter)
+                    method="scipy", max_rtol=self.max_rtol,
+                    maxiter=self.cg_maxiter, return_info=True)
 
-            mat = jax.lax.cond(analytic_case, analytic_mat, cov_mat, None)
+            mat, cg_info = jax.lax.cond(analytic_case, analytic_mat, cov_mat, None)
         else:
             analytic_case = jnp.asarray(False)
-            mat = cov_mat(None)
+            mat, cg_info = cov_mat(None)
 
         # (5) guidance gradient: vjp of mat through the UNet, with the
         # large-update fallback Sigma_0 mat / sigma^2 (reference :280-288)
@@ -443,6 +469,9 @@ class FreeHunch(ConditioningMechanism):
         update = jnp.where(jnp.isfinite(update), update, 0.0)
         x0_new = x0 + update
 
-        new_state = FreeHunchState(cov=cov, prev_sigma=sigma, prev_x=x_t,
-                                   prev_mean=x0, step=state.step + 1)
+        new_state = FreeHunchState(
+            cov=cov, prev_sigma=sigma, prev_x=x_t, prev_mean=x0,
+            step=state.step + 1,
+            cg_niter=jnp.asarray(cg_info.niter, jnp.int32),
+            cg_resnorm=jnp.mean(cg_info.residual_norm).astype(jnp.float32))
         return x0_new, new_state

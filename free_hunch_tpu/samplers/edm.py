@@ -188,7 +188,7 @@ def prepare_schedule(
 
 def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray,
                 xs: dict, rng_key, *, sigma0_scaled: float, alpha: float = 1.0,
-                return_trajectory: bool = False):
+                return_trajectory: bool = False, collect_diagnostics: bool = False):
     """The pure jittable sampling loop: one ``lax.scan`` over the schedule.
 
     The Heun/Euler step structure is static (host booleans), so the scan body
@@ -198,12 +198,22 @@ def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray
     inline. This halves the traced graph vs a cond-in-body formulation — the
     guidance mechanism (UNet + vjp + CG) appears once per structure instead
     of twice per step.
+
+    ``collect_diagnostics`` appends a third return value: a dict with
+    ``cg_niter`` (num_steps, 2) int32 and ``cg_resnorm`` (num_steps, 2) f32 —
+    the guidance CG solve's iteration count and batch-mean final residual per
+    ODE stage (column 1 is -1 / 0 on Euler-only steps). Pair with
+    xs['sigma_hat'] / xs['sigma_prime'] for a per-sigma profile.
     """
     use_heun = np.asarray(xs["use_heun"], bool)
     num_steps = use_heun.shape[0]
     step_keys = jax.random.split(rng_key, num_steps)
     gstate0 = mechanism.init_state(noise.shape[0], noise.shape[1:])
     x0_init = noise.astype(jnp.float32) * sigma0_scaled
+
+    def _cg_stats(gstate):
+        return (getattr(gstate, "cg_niter", jnp.asarray(0, jnp.int32)),
+                getattr(gstate, "cg_resnorm", jnp.asarray(0.0, jnp.float32)))
 
     def make_body(heun: bool):
         def body(carry, step):
@@ -213,17 +223,26 @@ def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray
 
             denoised, gstate = mechanism(denoise, x_hat, y, step["sigma_hat"],
                                          gstate)
+            n1, r1 = _cg_stats(gstate)
             d_cur = (x_hat - denoised) / step["sigma_hat"]
             if heun:
                 x_prime = x_hat + alpha * step["h"] * d_cur
                 denoised2, gstate = mechanism(denoise, x_prime, y,
                                               step["sigma_prime"], gstate)
+                n2, r2 = _cg_stats(gstate)
                 d_prime = step["c1"] * x_prime - step["c2"] * denoised2
                 x_next = x_hat + step["h"] * ((1 - 1 / (2 * alpha)) * d_cur
                                               + 1 / (2 * alpha) * d_prime)
             else:
+                n2 = jnp.asarray(-1, jnp.int32)
+                r2 = jnp.asarray(0.0, jnp.float32)
                 x_next = x_hat + step["h"] * d_cur
-            out = x_next if return_trajectory else None
+            out = {}
+            if return_trajectory:
+                out["traj"] = x_next
+            if collect_diagnostics:
+                out["cg_niter"] = jnp.stack([n1, n2])
+                out["cg_resnorm"] = jnp.stack([r1, r2])
             return (x_next, gstate), out
 
         return body
@@ -232,7 +251,7 @@ def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray
     arrays = {k: v for k, v in xs.items() if k != "use_heun"}
     arrays["step_key"] = step_keys
     carry = (x0_init, gstate0)
-    trajs = []
+    outs = []
     start = 0
     while start < num_steps:
         end = start
@@ -242,19 +261,20 @@ def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray
         body = make_body(bool(use_heun[start]))
         if end - start == 1:  # peeled single step: no scan wrapper needed
             carry, out = body(carry, {k: v[0] for k, v in seg.items()})
-            if return_trajectory:
-                trajs.append(out[None] if out is not None else None)
+            outs.append(jax.tree.map(lambda a: a[None], out))
         else:
             carry, out = jax.lax.scan(body, carry, seg)
-            if return_trajectory:
-                trajs.append(out)
+            outs.append(out)
         start = end
 
     x_final = carry[0]
-    if return_trajectory:
-        traj = jnp.concatenate([t for t in trajs if t is not None], axis=0)
-        return x_final, traj
-    return x_final, [x0_init]
+    merged = {k: jnp.concatenate([o[k] for o in outs], axis=0)
+              for k in outs[0]} if outs and outs[0] else {}
+    traj = merged["traj"] if return_trajectory else [x0_init]
+    if collect_diagnostics:
+        diag = {k: merged[k] for k in ("cg_niter", "cg_resnorm")}
+        return x_final, traj, diag
+    return x_final, traj
 
 
 def conditional_sampler(

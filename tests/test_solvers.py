@@ -35,11 +35,42 @@ def test_rtol_schedule_matches_reference_formula():
                       + math.log10(rtol_min))
 
     # sigma <= 80 only: above sigma_max the reference's double-clip lets the
-    # raw sigma through (a quirk never reached — the sampler clamps at 80)
+    # raw sigma through (a quirk never reached — the sampler clamps at 80).
+    # Intentional deviation: the schedule is clamped at the f32-achievable
+    # floor (the reference requests down to 1e-14, which f32 CG can never
+    # reach and just burns maxiter at the numerical floor — VERDICT r1 #4).
     for s in (0.05, 0.3, 2.0, 15.0, 79.0):
-        np.testing.assert_allclose(float(S.rtol_schedule(s)), ref_rtol(s), rtol=1e-4)
+        np.testing.assert_allclose(float(S.rtol_schedule(s)),
+                                   max(ref_rtol(s), S.RTOL_F32_FLOOR), rtol=1e-4)
         np.testing.assert_allclose(float(S.rtol_schedule_2(s)),
                                    ref_rtol(s, 1e0, 1e-4, 0.05), rtol=1e-4)
+    # the floor engages exactly where the reference formula goes sub-f32
+    assert float(S.rtol_schedule(0.05)) == S.RTOL_F32_FLOOR
+    assert ref_rtol(0.05) < S.RTOL_F32_FLOOR
+    assert float(S.rtol_schedule(79.0)) > S.RTOL_F32_FLOOR
+
+
+def test_choose_solver_return_info():
+    """CGInfo surfaces through choose_solver for both CG and closed form."""
+    rng = np.random.default_rng(21)
+    k = rng.uniform(0.1, 1, (5, 5))
+    op = get_operator(name="gaussian_blur", in_shape=(1, 3, RES, RES),
+                      sigma_s=0.3, kernel=k / k.sum())
+    x0 = _imgs(22)
+    y = op.forward(_imgs(23), noiseless=True)
+    mat, info = S.choose_solver(op, y, x0, theta0_var=jnp.asarray(0.7),
+                                method="cg", sigma_t=1.0, maxiter=200,
+                                return_info=True)
+    assert int(info.niter) > 0
+    assert info.residual_norm.shape == (B,)
+    # closed form reports a zero-iteration converged solve
+    mat_cf, info_cf = S.choose_solver(op, y, x0, theta0_var=jnp.asarray(0.7),
+                                      method="closed_form", return_info=True)
+    assert int(info_cf.niter) == 0 and bool(info_cf.optimal.all())
+    # default call signature unchanged
+    mat_plain = S.choose_solver(op, y, x0, theta0_var=jnp.asarray(0.7),
+                                method="cg", sigma_t=1.0, maxiter=200)
+    np.testing.assert_allclose(np.asarray(mat_plain), np.asarray(mat))
 
 
 def test_deblur_closed_form_solves_the_normal_equations():
