@@ -21,13 +21,25 @@ import jax
 def init(coordinator_address: Optional[str] = None,
          num_processes: Optional[int] = None,
          process_id: Optional[int] = None) -> None:
-    """Join the jax distributed runtime if configured; no-op otherwise."""
+    """Join the jax distributed runtime if configured; no-op otherwise.
+
+    CPU multi-process (the no-TPU bring-up / test path, reference gloo
+    fallback ``torch_utils/distributed.py:39``): when the platform is cpu the
+    gloo cross-process collective backend is selected, and the platform is
+    pinned via jax.config — the axon TPU plugin otherwise claims the backend
+    even when JAX_PLATFORMS=cpu is set in the environment."""
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = num_processes if num_processes is not None else \
         int(os.environ.get("JAX_NUM_PROCESSES", 0) or 0)
     if addr and nproc > 1:
         pid = process_id if process_id is not None else \
             int(os.environ.get("JAX_PROCESS_INDEX", os.environ.get("RANK", 0)))
+        if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+            try:
+                jax.config.update("jax_platforms", "cpu")
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            except Exception:
+                pass  # backend already initialised; use whatever is in place
         jax.distributed.initialize(coordinator_address=addr,
                                    num_processes=nproc, process_id=pid)
 

@@ -93,12 +93,17 @@ def ddnm_schedule(num_steps: int, M: int = 1000, beta_start=0.0001, beta_end=0.0
 def ddnm_sample(eps_fn: Callable, a_funcs, noise: jnp.ndarray, y: jnp.ndarray,
                 *, num_steps: int, sigma_y: float, eta: float = 1.0,
                 M: int = 1000, travel_length: int = 1, travel_repeat: int = 1,
-                rng_key=None, return_trajectory: bool = False
-                ) -> Tuple[jnp.ndarray, list]:
+                rng_key=None, return_trajectory: bool = False,
+                noise_seq=None) -> Tuple[jnp.ndarray, list]:
     """Run DDNM+ from pure noise. eps_fn(x, t_float_batch) -> epsilon (B,C,H,W)
     (raw UNet, variance channel already stripped). y: (B, n) measurement.
     With ``return_trajectory`` the second return value is the (T, B, C, H, W)
-    stack of x_t iterates instead of ``[x0_last]``."""
+    stack of x_t iterates instead of ``[x0_last]``.
+
+    ``noise_seq`` (n_scan_steps, B, C, H, W) overrides the per-step ancestral
+    noise draws — the reference calls ``torch.randn_like`` once per schedule
+    step in either branch (svd_ddnm.py:84-123); injecting the same sequence
+    enables bit-level A/B against the torch sampler on the stochastic paths."""
     b = noise.shape[0]
     img_shape = noise.shape[1:]
     at_h, at_next_h, fwd_h = ddnm_schedule(num_steps, M=M,
@@ -119,12 +124,18 @@ def ddnm_sample(eps_fn: Callable, a_funcs, noise: jnp.ndarray, y: jnp.ndarray,
         t=jnp.asarray(t_idx, jnp.float32),
         key=jax.random.split(rng_key, n_steps),
     )
+    if noise_seq is not None:
+        assert noise_seq.shape[0] == n_steps, (
+            f"noise_seq must provide one draw per scan step "
+            f"({noise_seq.shape[0]} != {n_steps})")
+        xs["eps"] = jnp.asarray(noise_seq, jnp.float32)
 
     def body(carry, step):
         xt, x0_pred = carry
         at = step["at"]
         at_next = step["at_next"]
-        eps = jax.random.normal(step["key"], xt.shape, xt.dtype)
+        eps = (step["eps"] if "eps" in step
+               else jax.random.normal(step["key"], xt.shape, xt.dtype))
 
         def forward_step(args):
             xt, x0_pred = args

@@ -233,3 +233,115 @@ def test_ddnm_sampler_loop_parity(ref_sampler):
                                y_ref.numpy(), rtol=1e-4, atol=1e-4)
     scale = max(np.abs(x_ref).max(), 1.0)
     np.testing.assert_allclose(x / scale, x_ref / scale, rtol=0, atol=5e-3)
+
+
+DDNM_STOCHASTIC_CASES = [
+    # (eta, sigma_y, travel_length, travel_repeat)
+    (0.85, 0.0, 1, 1),    # eta>0: the Lambda/Lambda_noise eta split engages
+    (0.85, 0.1, 1, 1),    # sigma_y>0: both singular-threshold branches engage
+    (1.0, 0.05, 2, 2),    # RePaint time travel: re-noising branch runs
+    (0.2, 0.2, 3, 2),     # all three stochastic knobs together
+]
+
+
+@pytest.mark.parametrize("eta,sigma_y,travel_length,travel_repeat",
+                         DDNM_STOCHASTIC_CASES)
+def test_ddnm_stochastic_path_parity(ref_sampler, eta, sigma_y,
+                                     travel_length, travel_repeat):
+    """DDNM+ parity on the STOCHASTIC paths (VERDICT r1 missing #4) against
+    the reference ``ddnm_plus_diffusion`` (svd_ddnm.py:80-146 — the only
+    upstream entry that honours travel_length/travel_repeat; the
+    custom_ddnm_sampling wrapper hard-codes travel=1 at :85-87).
+
+    Shared randomness: the reference draws ``torch.randn_like`` exactly once
+    per schedule step (Eq. 51 noise in the forward branch, re-noising in the
+    travel branch); we patch it to pop a precomputed queue and inject the
+    same sequence into ``ddnm_sample(noise_seq=...)``. The measurement noise
+    eps_y is shared likewise, so Lambda's eta split, Lambda_noise's
+    sigma_t/a*sigma_y threshold branches (svd_operators.py:84-123), and the
+    RePaint re-noising must agree step-for-step."""
+    import types as _types
+
+    from free_hunch_tpu.operators import svd as svd_ops
+    from free_hunch_tpu.samplers.ddnm import (ddnm_sample, ddnm_schedule,
+                                              get_schedule_jump)
+
+    res, steps, M = 32, 6, 1000
+    rng = np.random.default_rng(11)
+    noise0 = rng.standard_normal((1, 3, res, res)).astype(np.float32)
+    cond = rng.uniform(-1, 1, (1, 3, res, res)).astype(np.float32)
+    eps_y = rng.standard_normal((1, 3 * (res // 4) ** 2)).astype(np.float32)
+
+    times = get_schedule_jump(steps, travel_length, travel_repeat)
+    n_scan = len(times) - 1
+    noise_seq = rng.standard_normal((n_scan, 1, 3, res, res)).astype(np.float32)
+
+    class _EpsNet(torch.nn.Module):
+        def forward(self, x, t):
+            return torch.tanh(x) * (0.1 + 1e-4 * t.view(-1, 1, 1, 1))
+
+    def eps_jax(x, t):
+        return jnp.tanh(x) * (0.1 + 1e-4 * t.reshape(-1, 1, 1, 1))
+
+    # --- reference (torch) with patched cuda + noise queue -------------------
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_svd_ddnm", "/root/reference/ddnm_functions/svd_ddnm.py")
+    ref_sd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_sd)
+    spec_ops = importlib.util.spec_from_file_location(
+        "ref_svd_operators", "/root/reference/ddnm_functions/svd_operators.py")
+    ref_ops = importlib.util.module_from_spec(spec_ops)
+    spec_ops.loader.exec_module(ref_ops)
+
+    a_ref = ref_ops.SuperResolution(3, res, 4, "cpu")
+    betas_t = torch.linspace(1e-4, 0.02, M, dtype=torch.float32)
+    y_ref = (a_ref.A(torch.from_numpy(cond).reshape(1, -1))
+             + sigma_y * torch.from_numpy(eps_y))
+
+    queue = [torch.from_numpy(noise_seq[i]) for i in range(n_scan)]
+    orig_randn_like, orig_to = torch.randn_like, torch.Tensor.to
+
+    def fake_randn_like(t, *a, **k):
+        return queue.pop(0).to(t.dtype).reshape(t.shape)
+
+    def patched_to(self, *a, **k):
+        a = tuple("cpu" if (isinstance(x, (str, torch.device))
+                            and str(x).startswith("cuda")) else x for x in a)
+        if isinstance(k.get("device"), (str, torch.device)) and str(
+                k["device"]).startswith("cuda"):
+            k["device"] = "cpu"
+        return orig_to(self, *a, **k)
+
+    cfg = _types.SimpleNamespace(
+        diffusion=_types.SimpleNamespace(num_diffusion_timesteps=M),
+        time_travel=_types.SimpleNamespace(T_sampling=steps,
+                                           travel_length=travel_length,
+                                           travel_repeat=travel_repeat))
+    torch.randn_like = fake_randn_like
+    torch.Tensor.to = patched_to
+    try:
+        xs_out, _ = ref_sd.ddnm_plus_diffusion(
+            torch.from_numpy(noise0), _EpsNet(), betas_t, eta, a_ref, y_ref,
+            sigma_y, config=cfg)
+    finally:
+        torch.randn_like = orig_randn_like
+        torch.Tensor.to = orig_to
+    assert not queue, "reference consumed fewer noise draws than scheduled"
+    x_ref = xs_out[-1].detach().numpy()
+
+    # --- ours (jax) with the same injected noise ----------------------------
+    a_jax = svd_ops.SuperResolution(3, res, 4)
+    y_jax = (a_jax.A(jnp.asarray(cond).reshape(1, -1))
+             + sigma_y * jnp.asarray(eps_y))
+    np.testing.assert_allclose(np.asarray(y_jax), y_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    x, _ = ddnm_sample(eps_jax, a_jax, jnp.asarray(noise0), y_jax,
+                       num_steps=steps, sigma_y=sigma_y, eta=eta, M=M,
+                       travel_length=travel_length,
+                       travel_repeat=travel_repeat,
+                       noise_seq=jnp.asarray(noise_seq))
+    x = np.asarray(x)
+
+    scale = max(np.abs(x_ref).max(), 1.0)
+    np.testing.assert_allclose(x / scale, x_ref / scale, rtol=0, atol=5e-3)
