@@ -81,36 +81,51 @@ _LPIPS_CACHE = {}
 
 
 def lpips_fn(net: str = "vgg"):
-    """Return lpips(a, b) on [-1,1] NCHW images.
+    """Return lpips(a, b) -> float (batch mean) on [-1,1] NCHW images.
 
-    Uses a converted torchvision VGG16 backbone with the official LPIPS linear
-    heads when weight files are available (env LPIPS_WEIGHTS or the torch hub
-    cache); otherwise returns a flagged perceptual proxy (multi-scale gradient
-    similarity) so pipelines keep running — the proxy is NOT comparable to
-    published LPIPS numbers and is marked by ``lpips_fn.is_proxy``.
+    Resolution order:
+
+    1. the native JAX LPIPS (``metrics/lpips_jax.py``: VGG16 backbone + the
+       official linear heads, oracle-tested against a torch implementation)
+       when a converted weight file exists — set env ``LPIPS_WEIGHTS`` to the
+       npz produced by ``lpips_jax.convert_torch_weights``,
+    2. the ``lpips`` pip package, if installed (it is not in the TPU image),
+    3. a clearly-flagged perceptual proxy (multi-scale gradient similarity)
+       so pipelines keep running — NOT comparable to published LPIPS numbers
+       and marked by ``fn.is_proxy`` (and ``lpips_is_proxy`` in results.json).
     """
     if net in _LPIPS_CACHE:
         return _LPIPS_CACHE[net]
 
     fn = None
-    try:
-        import lpips as _lpips  # pragma: no cover - not in the TPU image
-        import torch
+    from free_hunch_tpu.metrics import lpips_jax
 
-        loss = _lpips.LPIPS(net=net)
-
+    native = lpips_jax.make_lpips()
+    if native is not None:
         def fn(a, b):
-            with torch.no_grad():
-                out = loss(torch.from_numpy(np.asarray(a, np.float32)),
-                           torch.from_numpy(np.asarray(b, np.float32)))
-            return float(out.mean())
+            return float(jnp.mean(native(jnp.asarray(a, jnp.float32),
+                                         jnp.asarray(b, jnp.float32))))
 
         fn.is_proxy = False
-    except Exception:
-        def fn(a, b):
-            return float(_perceptual_proxy(jnp.asarray(a), jnp.asarray(b)))
+    if fn is None:
+        try:
+            import lpips as _lpips  # pragma: no cover - not in the TPU image
+            import torch
 
-        fn.is_proxy = True
+            loss = _lpips.LPIPS(net=net)
+
+            def fn(a, b):
+                with torch.no_grad():
+                    out = loss(torch.from_numpy(np.asarray(a, np.float32)),
+                               torch.from_numpy(np.asarray(b, np.float32)))
+                return float(out.mean())
+
+            fn.is_proxy = False
+        except Exception:
+            def fn(a, b):
+                return float(_perceptual_proxy(jnp.asarray(a), jnp.asarray(b)))
+
+            fn.is_proxy = True
     _LPIPS_CACHE[net] = fn
     return fn
 
