@@ -99,6 +99,32 @@ def main():
         times.append(time.time() - t0)
         log(f"iter {i}: {times[-1]:.2f}s (checksum {chk:.4f})")
 
+    if os.environ.get("BENCH_CG_PROFILE") == "1":
+        # per-sigma CG iteration profile (VERDICT r1 #4); separate jit so the
+        # timed graph above is untouched
+        import numpy as np
+
+        @jax.jit
+        def run_diag(params_, noise_, y_, key_):
+            denoise = lambda x, s: precond.apply(params_, x, s)
+            x, _, diag = sample_scan(denoise, mech, noise_, y_, xs, key_,
+                                     sigma0_scaled=sigma0_scaled,
+                                     collect_diagnostics=True)
+            return jnp.sum(x), diag
+
+        chk, diag = run_diag(params, noise, y, jax.random.fold_in(key, 99))
+        float(chk)
+        niter = np.asarray(diag["cg_niter"])
+        prof = [dict(step=i, sigma_hat=float(xs["sigma_hat"][i]),
+                     niter=[int(niter[i, 0]), int(niter[i, 1])])
+                for i in range(niter.shape[0])]
+        for p in prof:
+            log(f"cg profile step {p['step']:2d} sigma={p['sigma_hat']:8.4f} "
+                f"niter={p['niter']}")
+        os.makedirs("docs/bench", exist_ok=True)
+        with open("docs/bench/cg_profile.json", "w") as f:
+            json.dump(prof, f, indent=2)
+
     best = min(times)
     samples_per_min = batch * 60.0 / best
     target = 64.0

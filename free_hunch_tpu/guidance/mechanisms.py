@@ -288,6 +288,10 @@ class FreeHunch(ConditioningMechanism):
     solver_type: str = "customcuda"
     data_dir: Optional[str] = None
     dataset: str = "imagenet"
+    # Fourier/Jacobi-diagonal CG preconditioning (an improvement the
+    # reference lacks). At convergence the solution is unchanged; iterates at
+    # loose rtol (large sigma) differ — disable for bit-level reference A/B.
+    cg_precondition: bool = True
     # Elementwise bound on the guidance update sigma^2 * grad (robustness
     # knob): a near-singular estimated covariance can make one CG solve blow
     # up a single chain; bounding the per-call update keeps that chain sane
@@ -428,7 +432,8 @@ class FreeHunch(ConditioningMechanism):
                                  method=self.solver_type, max_rtol=self.max_rtol,
                                  sigma_t=sigma, use_rtol_func=self.use_rtol_func,
                                  maxiter=self.cg_maxiter,
-                                 cov_trace_mean=cov_vbar, return_info=True)
+                                 cov_trace_mean=cov_vbar, return_info=True,
+                                 precondition=self.cg_precondition)
 
         if self.use_analytic_var_at_end:
             # low-sigma analytic-variance override (reference :273-278); only

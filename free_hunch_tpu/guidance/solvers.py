@@ -66,8 +66,14 @@ def _flatten(v):
 
 
 def _run_cg(matvec_img: Callable, b_img: jnp.ndarray, rtol, maxiter: int,
-            precond: Optional[Callable] = None):
-    """CG over (B, ...) image-shaped systems via flatten/unflatten."""
+            precond: Optional[Callable] = None, warm_start: bool = False,
+            min_iter: int = 0):
+    """CG over (B, ...) image-shaped systems via flatten/unflatten.
+
+    warm_start starts from x0 = b and min_iter=1 forces one update before the
+    convergence test — together these reproduce the reference torch CG's
+    defaults (cg.py:143 ``x0 = M_mm(b)``; no pre-loop check), observable
+    whenever the rtol schedule is loose (rtol=1 at sigma_max)."""
     shape = b_img.shape
 
     def mv(v):
@@ -75,7 +81,9 @@ def _run_cg(matvec_img: Callable, b_img: jnp.ndarray, rtol, maxiter: int,
 
     pc = None if precond is None else (lambda v: _flatten(precond(v.reshape(shape))))
     u, info = cg_mod.cg_batch(mv, _flatten(b_img), rtol=rtol, maxiter=maxiter,
-                              precond=pc)
+                              precond=pc,
+                              x0=_flatten(b_img) if warm_start else None,
+                              min_iter=min_iter)
     return u.reshape(shape), info
 
 
@@ -119,7 +127,8 @@ def deblur_mat_closed_form(operator, y, x0_mean, theta0_var):
 
 def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                   rtol=1e-4, maxiter=1000, cov_trace_mean=None,
-                  return_info=False):
+                  return_info=False, warm_start=False, min_iter=0,
+                  precondition=True):
     """General-covariance case (reference
     _deblur_mat_generic_customcuda_bfgs_tailored:490 and the scipy twin :529).
     Per CG iteration: u -> sigma_s^2 u + A C A^T u with A^T via FBC.
@@ -139,14 +148,16 @@ def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         v = _ifft2_r(FB * _fft2(v))           # A .
         return sigma_s**2 * u + v
 
-    vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean)
+    vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean) \
+        if precondition else None
     precond = None
     if vbar is not None:
         denom = sigma_s**2 + vbar[:, None, None, None] * F2B
         precond = lambda r: _ifft2_r(_fft2(r) / denom)
 
     b = y - _ifft2_r(FB * _fft2(x0_mean))
-    u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond)
+    u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
+                      warm_start=warm_start, min_iter=min_iter)
     mat = _ifft2_r(FBC * _fft2(u))
     return (mat, info) if return_info else mat
 
@@ -169,7 +180,8 @@ def sr_mat_closed_form(operator, y, x0_mean, theta0_var):
 
 def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
               rtol=1e-4, maxiter=1000, cov_trace_mean=None,
-              return_info=False):
+              return_info=False, warm_start=False, min_iter=0,
+              precondition=True):
     """(reference _super_resolution_mat_generic_customcuda_bfgs_tailored:641).
     Preconditioned with the polyphase-diagonal inverse for C = v_bar I."""
     sigma_s = jnp.clip(operator.sigma_s, min=0.01)
@@ -182,7 +194,8 @@ def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         v = downsample(_ifft2_r(FB * _fft2(v)), sf)
         return sigma_s**2 * u + v
 
-    vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean)
+    vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean) \
+        if precondition else None
     precond = None
     if vbar is not None:
         invW = jnp.mean(splits(jnp.asarray(F2B), sf), axis=-1)
@@ -190,7 +203,8 @@ def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         precond = lambda r: _ifft2_r(_fft2(r) / denom)
 
     b = y - downsample(_ifft2_r(FB * _fft2(x0_mean)), sf)
-    u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond)
+    u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
+                      warm_start=warm_start, min_iter=min_iter)
     mat = _ifft2_r(FBC * _fft2(upsample(u, sf)))
     return (mat, info) if return_info else mat
 
@@ -208,7 +222,8 @@ def inpainting_mat_closed_form(operator, y, x0_mean, theta0_var):
 
 def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                       rtol=1e-4, maxiter=1000, cov_trace_mean=None,
-                      return_info=False):
+                      return_info=False, warm_start=False, min_iter=0,
+                      precondition=True):
     """(reference _inpainting_mat_generic_customcuda_bfgs_tailored:385 / the
     diagonal-variance CG at :366-381). Jacobi-preconditioned with the exact
     diagonal for C = v_bar I."""
@@ -219,14 +234,16 @@ def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         v = _apply_c(mask * u, theta0_var, cov_mv)
         return sigma_s**2 * u + mask * v
 
-    vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean)
+    vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean) \
+        if precondition else None
     precond = None
     if vbar is not None:
         denom = sigma_s**2 + vbar[:, None, None, None] * mask
         precond = lambda r: r / denom
 
     b = mask * y - mask * x0_mean
-    mat, info = _run_cg(matvec, b, rtol, maxiter, precond=precond)
+    mat, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
+                        warm_start=warm_start, min_iter=min_iter)
     return (mat, info) if return_info else mat
 
 
@@ -252,7 +269,8 @@ def _no_cg_info(x0_mean):
 def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                   method: str = "cg", max_rtol: float = 1.0, sigma_t=None,
                   use_rtol_func: bool = False, maxiter: Optional[int] = None,
-                  cov_trace_mean=None, return_info: bool = False):
+                  cov_trace_mean=None, return_info: bool = False,
+                  precondition: bool = True):
     """Solve for ``mat`` given an operator by name.
 
     method:
@@ -261,9 +279,16 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         covariance matvec is supplied (matches the reference's numel()==1
         branching).
       'cg' / 'customcuda' — on-device CG with the tight rtol schedule
-        (maxiter 5000), the reference's GPU path.
+        (maxiter 5000), the reference's GPU path; like the reference torch CG
+        it warm-starts from x0=b and always performs one update (cg.py:143,
+        no pre-loop check) so the loose-rtol iterates at large sigma match.
       'customscipy' — on-device CG with the loose schedule (maxiter 1000),
-        numerically matching the reference's scipy path.
+        numerically matching the reference's scipy path (x0=0, standard
+        stopping).
+
+    precondition: enable the Fourier/Jacobi-diagonal preconditioner (an
+    improvement the reference lacks; solutions at convergence are identical,
+    loose-rtol iterates differ — disable for bit-level reference A/B).
 
     return_info: also return the solve's ``CGInfo`` (niter, residual_norm,
     optimal) — the reference discards its torch-CG ``info`` dict; we surface
@@ -282,9 +307,11 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         rtol = rtol_schedule(sigma_t, max_rtol) if sigma_t is not None else 1e-4
         return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
                          rtol=rtol, maxiter=maxiter or 5000,
-                         cov_trace_mean=cov_trace_mean, return_info=return_info)
+                         cov_trace_mean=cov_trace_mean, return_info=return_info,
+                         warm_start=True, min_iter=1, precondition=precondition)
     # scipy-equivalent path (and closed-form fallbacks with non-scalar var)
     rtol = rtol_schedule_2(sigma_t) if (sigma_t is not None and use_rtol_func) else 1e-4
     return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
                      rtol=rtol, maxiter=maxiter or 1000,
-                     cov_trace_mean=cov_trace_mean, return_info=return_info)
+                     cov_trace_mean=cov_trace_mean, return_info=return_info,
+                     precondition=precondition)

@@ -188,3 +188,29 @@ def load_torch_checkpoint(path: str, cfg: UNetConfig) -> dict:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return convert_state_dict(sd, cfg)
+
+
+def randomize_zero_tensors(state_dict, scale: float = 0.1, seed: int = 0):
+    """Return a torch state dict copy with every all-zero tensor replaced by
+    fan-in-scaled random noise (std = scale / sqrt(fan_in)).
+
+    The ADM UNet zero-initialises every residual-branch output conv, every
+    attention proj_out, and the final out conv (``zero_module``, reference
+    openai_nn.py:68) — a freshly constructed net therefore computes
+    F(x) == 0 identically, which silently turns any random-init parity or
+    end-to-end test into a vacuous 0 == 0 comparison. Re-randomising the
+    zero tensors makes the full network contribute to the output.
+    """
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    out = {}
+    for k, v in state_dict.items():
+        if torch.is_tensor(v) and v.numel() > 0 and v.dtype.is_floating_point \
+                and float(v.abs().max()) == 0.0:
+            fan_in = int(np.prod(v.shape[1:])) if v.ndim > 1 else v.shape[0]
+            out[k] = torch.randn(v.shape, generator=g,
+                                 dtype=v.dtype) * (scale / np.sqrt(max(fan_in, 1)))
+        else:
+            out[k] = v
+    return out

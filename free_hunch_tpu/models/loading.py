@@ -84,6 +84,10 @@ def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
         params = model.init(jax.random.PRNGKey(rng_seed),
                             jnp.zeros((1, 3, res, res), jnp.float32),
                             jnp.zeros((1,), jnp.float32), **init_kwargs)
+        # a freshly initialised ADM UNet computes F(x) == 0 (the reference's
+        # zero_module layers are mirrored for conversion parity) — randomise
+        # them so random-init smoke runs exercise the whole network
+        params = randomize_zero_leaves(params, seed=rng_seed)
     else:
         raise FileNotFoundError(
             f"checkpoint {state_dict_path!r} not found; download it per the "
@@ -113,3 +117,25 @@ def load_params_npz(path: str) -> dict:
     data = np.load(path)
     flat = {tuple(k.split("/")): jnp.asarray(data[k]) for k in data.files}
     return tu.unflatten_dict(flat)
+
+
+def randomize_zero_leaves(params: dict, scale: float = 0.1, seed: int = 0) -> dict:
+    """Flax twin of ``convert.randomize_zero_tensors``: replace all-zero
+    parameter leaves (the zero-initialised residual output convs / proj_out /
+    final out conv mirrored from the reference ADM UNet) with fan-in-scaled
+    noise, so random-init runs exercise the whole network instead of the
+    degenerate F(x) == 0 denoiser."""
+    leaves, treedef = jax.tree.flatten(params)
+    key = jax.random.PRNGKey(seed)
+    out = []
+    for i, leaf in enumerate(leaves):
+        if hasattr(leaf, "shape") and leaf.size > 0 and \
+                jnp.issubdtype(leaf.dtype, jnp.floating) and \
+                float(jnp.abs(leaf).max()) == 0.0:
+            fan_in = int(np.prod(leaf.shape[:-1])) if leaf.ndim > 1 else leaf.shape[0]
+            noise = jax.random.normal(jax.random.fold_in(key, i), leaf.shape,
+                                      leaf.dtype)
+            out.append(noise * (scale / np.sqrt(max(fan_in, 1))))
+        else:
+            out.append(leaf)
+    return jax.tree.unflatten(treedef, out)

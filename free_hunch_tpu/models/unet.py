@@ -86,7 +86,13 @@ class GroupNorm32(nn.Module):
 
 def _conv(features, kernel=3, stride=1, dtype=jnp.bfloat16, name=None, zero_init=False):
     init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
-    return nn.Conv(features, (kernel, kernel), strides=(stride, stride), padding="SAME",
+    # explicit symmetric torch-style padding (k//2 per side): XLA "SAME"
+    # resolves to ASYMMETRIC (0, 1) padding for stride-2 kernel-3 convs,
+    # which silently diverges from the reference conv_nd(padding=1) on the
+    # conv_resample downsample path (they coincide at stride 1)
+    pad = kernel // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=((pad, pad), (pad, pad)),
                    dtype=dtype, param_dtype=jnp.float32, kernel_init=init, name=name)
 
 

@@ -32,7 +32,7 @@ def _dot(a, b):
 
 def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
              precond: Optional[Callable] = None, rtol=1e-3, atol=0.0,
-             maxiter: int = 1000, stall_iters: int = 25):
+             maxiter: int = 1000, stall_iters: int = 25, min_iter: int = 0):
     """Solve A x = b per batch row with CG.
 
     matvec: (batch, n) -> (batch, n), must apply a symmetric PSD A per row.
@@ -45,6 +45,12 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     unreachable in f32, where the reference torch CG burns its full
     maxiter=5000 budget at the numerical floor; detecting the floor keeps the
     same final accuracy at a fraction of the iterations.
+
+    min_iter: run at least this many iterations even for rows whose initial
+    residual already satisfies the tolerance. The reference torch CG
+    (cg.py:118-292) has NO pre-loop convergence check — it always performs
+    one update before testing — which is observable whenever rtol is loose
+    (the schedule gives rtol=1.0 at sigma_max); min_iter=1 reproduces that.
 
     Returns (x, CGInfo).
     """
@@ -68,25 +74,29 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
 
     def cond(state):
         x, r, p, rz, i, active, best, stall = state
-        return jnp.logical_and(i < maxiter, jnp.any(active))
+        return jnp.logical_and(
+            i < maxiter, jnp.logical_or(jnp.any(active), i < min_iter))
 
     def body(state):
         x, r, p, rz, i, active, best, stall = state
+        # forced rows participate in the update even though their residual
+        # already satisfies the tolerance (reference has no pre-loop check)
+        act = jnp.logical_or(active, i < min_iter)
         ap = matvec(p)
         pap = _dot(p, ap)
         alpha = jnp.where(pap > 0, rz / jnp.maximum(pap, jnp.finfo(dtype).tiny), 0.0)
-        m = active[:, None].astype(dtype)
+        m = act[:, None].astype(dtype)
         x = x + m * alpha[:, None] * p
         r = r - m * alpha[:, None] * ap
         z = precond(r)
         rz_new = _dot(r, z)
         beta = rz_new / jnp.maximum(rz, jnp.finfo(dtype).tiny)
-        p = jnp.where(active[:, None], z + beta[:, None] * p, p)
+        p = jnp.where(act[:, None], z + beta[:, None] * p, p)
         res = jnp.sqrt(_dot(r, r))
         improved = res < 0.999 * best
         stall = jnp.where(improved, 0, stall + 1)
         best = jnp.minimum(best, res)
-        active = jnp.logical_and(active, res > stop)
+        active = jnp.logical_and(act, res > stop)
         active = jnp.logical_and(active, stall < stall_iters)
         # freeze rows whose residual went non-finite (breakdown guard): the
         # masked update above keeps their x at the last finite iterate

@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Profiler-verified performance breakdown of the Free Hunch guided sampler
+(VERDICT r1 weak #1/#2/#3: back the throughput ceiling with measurements).
+
+Runs the 256px pipeline at the headline config (batch 8, 30 Heun steps) in
+ablation variants that isolate each cost:
+
+  unguided   59 UNet forwards only (no guidance at all)
+  vjp        + one vjp pullback per stage (guidance gradient, no solver)
+  fh_cg1     full Free Hunch, CG capped at 1 iteration
+  fh_cg100   full Free Hunch, CG capped at 100
+  fh_full    full Free Hunch, reference budget maxiter=5000 (headline)
+  fh_nospace fh_full without BFGS space updates
+
+Per-phase costs come from differences (vjp = t(vjp) - t(unguided), CG+cov =
+t(fh_full) - t(vjp), ...). For fh_full a per-sigma CG iteration profile is
+collected via the sampler's collect_diagnostics hook, and the compiled
+executable's XLA cost analysis gives FLOPs -> MFU vs the v5e bf16 peak.
+
+Outputs docs/bench/perf_breakdown.json (+ optional jax.profiler trace with
+PB_TRACE=1). Env: PB_BATCH, PB_STEPS, PB_ITERS, PB_VARIANTS (csv subset).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+V5E_BF16_PEAK_TFLOPS = 394.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    from free_hunch_tpu.guidance import choose_conditioning_mechanism
+    from free_hunch_tpu.guidance.mechanisms import (ConditioningMechanism,
+                                                    _denoise_with_vjp,
+                                                    _empty_state)
+    from free_hunch_tpu.models.loading import load_model, wrap_precond
+    from free_hunch_tpu.operators import get_operator
+    from free_hunch_tpu.samplers.edm import prepare_schedule, sample_scan
+
+    batch = int(os.environ.get("PB_BATCH", 8))
+    num_steps = int(os.environ.get("PB_STEPS", 30))
+    iters = int(os.environ.get("PB_ITERS", 2))
+    res = 256
+    want = os.environ.get("PB_VARIANTS")
+    want = set(want.split(",")) if want else None
+
+    log(f"devices={jax.devices()} batch={batch} steps={num_steps}")
+
+    model, params, model_args = load_model(
+        "models/256x256_diffusion_uncond.pt",
+        "models/256x256_diffusion_uncond_setup.txt",
+        dtype=jnp.bfloat16, init_random_if_missing=True, remat=False)
+    precond = wrap_precond(model, model_args, "linear")
+    op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),
+                      sigma_s=0.1, kernel_size=61, intensity=3.0)
+
+    import dataclasses
+
+    @dataclasses.dataclass(frozen=True)
+    class Unguided(ConditioningMechanism):
+        """x0 only: isolates the UNet forward cost."""
+        def x0_mean_update(self, denoise, x_t, y, sigma, state):
+            x0, _ = denoise(x_t, sigma)
+            return x0, self._bump(state)
+
+    @dataclasses.dataclass(frozen=True)
+    class VjpOnly(ConditioningMechanism):
+        """x0 + epsilon * vjp(ones): adds exactly one pullback per stage."""
+        def x0_mean_update(self, denoise, x_t, y, sigma, state):
+            x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
+            g = pullback(jnp.ones_like(x0))
+            return x0 + 0.0 * g, self._bump(state)
+
+    def freehunch(maxiter, do_space=True):
+        return choose_conditioning_mechanism("online_covariance")(
+            cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
+            image_base_covariance="dct_diagonal",
+            init_denoiser_variance=1.0, init_noise_variance=80.0**2,
+            data_dim=3 * res * res, cov_capacity=128,
+            solver_type="customcuda", max_rtol=1.0, cg_maxiter=maxiter,
+            do_space_updates=do_space)
+
+    variants = {
+        "unguided": Unguided(cond_scaling=1.0, forward_operator=op),
+        "vjp": VjpOnly(cond_scaling=1.0, forward_operator=op),
+        "fh_cg1": freehunch(1),
+        "fh_cg100": freehunch(100),
+        "fh_full": freehunch(5000),
+        "fh_nospace": freehunch(5000, do_space=False),
+    }
+    if want:
+        variants = {k: v for k, v in variants.items() if k in want}
+
+    xs, sigma0_scaled = prepare_schedule(
+        round_sigma=precond.round_sigma, net_sigma_min=precond.sigma_min,
+        net_sigma_max=precond.sigma_max, num_steps=num_steps, solver="heun",
+        discretization="edm", schedule="linear", scaling="none")
+
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.uniform(jax.random.fold_in(key, 0),
+                              (batch, 3, res, res), minval=-1, maxval=1)
+    y = jax.jit(lambda c, k: op.forward(c, noiseless=False, key=k))(
+        cond, jax.random.fold_in(key, 1))
+    noise = jax.random.normal(jax.random.fold_in(key, 2),
+                              (batch, 3, res, res))
+
+    results = {"config": dict(batch=batch, num_steps=num_steps, res=res,
+                              denoiser_evals=2 * num_steps - 1)}
+
+    # UNet forward FLOPs (single eval) via XLA cost analysis
+    fwd = jax.jit(lambda p, x, s: precond.apply(p, x, s)[0])
+    fwd_c = fwd.lower(params, noise, jnp.full((), 10.0)).compile()
+    try:
+        fwd_flops = float(fwd_c.cost_analysis()["flops"])
+        results["unet_fwd_tflops_batch"] = fwd_flops / 1e12
+        log(f"UNet fwd: {fwd_flops / 1e12:.2f} TFLOP for batch {batch}")
+    except Exception as e:
+        log(f"cost_analysis unavailable for fwd: {e}")
+
+    for name, mech in variants.items():
+        def run_fn(params_, noise_, y_, k, _m=mech):
+            x, _ = sample_scan(lambda xx, ss: precond.apply(params_, xx, ss),
+                               _m, noise_, y_, xs, k,
+                               sigma0_scaled=sigma0_scaled)
+            return x, jnp.sum(x)
+
+        jfn = jax.jit(run_fn)
+        log(f"[{name}] compiling...")
+        t0 = time.time()
+        lowered = jfn.lower(params, noise, y, jax.random.fold_in(key, 3))
+        compiled = lowered.compile()
+        compile_s = time.time() - t0
+        flops = None
+        try:
+            flops = float(compiled.cost_analysis()["flops"])
+        except Exception:
+            pass
+        _, chk = compiled(params, noise, y, jax.random.fold_in(key, 3))
+        chk = float(chk)  # forces completion on the remote backend
+        times = []
+        for i in range(iters):
+            t0 = time.time()
+            _, chk = compiled(params, noise, y, jax.random.fold_in(key, 10 + i))
+            chk = float(chk)
+            times.append(time.time() - t0)
+            log(f"[{name}] iter {i}: {times[-1]:.2f}s")
+        best = min(times)
+        entry = dict(best_s=round(best, 3), samples_per_min=round(batch * 60 / best, 2),
+                     compile_s=round(compile_s, 1))
+        if flops:
+            entry["total_tflops"] = round(flops / 1e12, 1)
+            entry["mfu_vs_v5e_bf16_peak"] = round(
+                flops / 1e12 / best / V5E_BF16_PEAK_TFLOPS, 4)
+        results[name] = entry
+        log(f"[{name}] {entry}")
+
+    # per-sigma CG iteration profile on the headline variant
+    if "fh_full" in variants:
+        log("collecting per-sigma CG profile (fh_full)...")
+        mech = variants["fh_full"]
+
+        @jax.jit
+        def run_diag(params_, noise_, y_, k):
+            x, _, diag = sample_scan(
+                lambda xx, ss: precond.apply(params_, xx, ss), mech, noise_,
+                y_, xs, k, sigma0_scaled=sigma0_scaled,
+                collect_diagnostics=True)
+            return jnp.sum(x), diag
+
+        chk, diag = run_diag(params, noise, y, jax.random.fold_in(key, 3))
+        import numpy as np
+        niter = np.asarray(diag["cg_niter"])
+        resn = np.asarray(diag["cg_resnorm"])
+        results["cg_profile"] = [
+            dict(step=i, sigma_hat=round(float(xs["sigma_hat"][i]), 4),
+                 niter_stage1=int(niter[i, 0]),
+                 sigma_prime=round(float(xs["sigma_prime"][i]), 4),
+                 niter_stage2=int(niter[i, 1]),
+                 resnorm=[float(f"{resn[i, 0]:.3e}"), float(f"{resn[i, 1]:.3e}")])
+            for i in range(niter.shape[0])]
+        results["cg_total_iters_per_sample_run"] = int(
+            niter[niter > 0].sum())
+
+    if os.environ.get("PB_TRACE") == "1" and "fh_full" in variants:
+        from free_hunch_tpu.utils.profiling import trace
+        tdir = os.path.join("docs", "bench", "trace_batch8")
+        log(f"capturing profiler trace -> {tdir}")
+        mech = variants["fh_full"]
+        jfn = jax.jit(lambda p, n, yy, k: sample_scan(
+            lambda xx, ss: precond.apply(p, xx, ss), mech, n, yy, xs, k,
+            sigma0_scaled=sigma0_scaled)[0])
+        _ = jnp.sum(jfn(params, noise, y, jax.random.fold_in(key, 3))).item()
+        with trace(tdir):
+            v = jnp.sum(jfn(params, noise, y, jax.random.fold_in(key, 4))).item()
+        results["trace_dir"] = tdir
+
+    os.makedirs("docs/bench", exist_ok=True)
+    out_path = os.environ.get("PB_OUT", "docs/bench/perf_breakdown.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({k: v for k, v in results.items() if k != "cg_profile"},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()

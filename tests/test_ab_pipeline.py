@@ -1,0 +1,21 @@
+"""CI guard for the full-pipeline reference A/B (VERDICT r1 #1): the
+teacher-forced harness at 64px must keep every guidance call within tolerance
+of the torch reference. The committed 256px artifact (docs/ab_reference_256.json)
+is produced by the same code via scripts/ab_reference_pipeline.py."""
+import os
+import sys
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
+
+
+def test_teacher_forced_pipeline_parity_64px():
+    from ab_reference_pipeline import run_ab_teacher_forced
+    out = run_ab_teacher_forced(res=64, channels=32, steps=4, verbose=False)
+    assert out["protocol"]["guidance_calls"] == 7
+    assert out["agree"], f"per-call errors: {out['per_call_errors']}"
+    assert out["per_call_rel_err"]["max"] < 2e-2

@@ -90,6 +90,11 @@ def pair():
                       channel_mult=(1, 2), num_heads=2, num_head_channels=16,
                       use_scale_shift_norm=True, resblock_updown=True)
         tnet = TorchUNet(**kwargs)
+        # randomise the zero_module layers: a fresh ADM UNet computes
+        # F(x) == 0, degenerating the denoiser to clip(x) and the comparison
+        # to a UNet-free one
+        from free_hunch_tpu.models.convert import randomize_zero_tensors
+        tnet.load_state_dict(randomize_zero_tensors(tnet.state_dict()))
         tnet.eval()
         tpre = TorchPrecond(tnet, img_resolution=RES, img_channels=3, label_dim=0)
 

@@ -27,6 +27,10 @@ def _net():
     model = UNetModel(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, RES, RES)),
                         jnp.zeros((1,)))
+    # randomise the zero_module layers so the UNet actually contributes
+    # (a fresh init computes F(x) == 0 -> denoiser degenerates to clip(x))
+    from free_hunch_tpu.models.loading import randomize_zero_leaves
+    params = randomize_zero_leaves(params)
     pre = IDDPMLinearPrecond(model, img_resolution=RES, img_channels=3)
     denoise = lambda x, s: pre.apply(params, x, s)
     return pre, denoise

@@ -34,6 +34,11 @@ def _build_pair(use_new_attention_order=False, resblock_updown=True,
         num_classes=num_classes,
     )
     tmodel = TorchUNet(**kwargs)
+    # the ADM UNet zero-initialises every residual output conv, proj_out and
+    # the final out conv — a fresh net computes F(x) == 0 identically, which
+    # would make this parity comparison vacuous; randomise them
+    from free_hunch_tpu.models.convert import randomize_zero_tensors
+    tmodel.load_state_dict(randomize_zero_tensors(tmodel.state_dict()))
     tmodel.eval()
     cfg = UNetConfig(
         image_size=32, in_channels=3, model_channels=32, out_channels=6,
@@ -63,6 +68,8 @@ def _compare(tmodel, jmodel, params, num_classes=None):
             tout = tmodel(*targs, class_labels=onehot).numpy()
     jout = np.asarray(jmodel.apply(params, jnp.asarray(x), jnp.asarray(t),
                                    y=None if y is None else jnp.asarray(y)))
+    # guard against the vacuous 0 == 0 comparison of a zero-initialised net
+    assert np.abs(tout).max() > 1e-3, "torch oracle output is (near) zero"
     np.testing.assert_allclose(jout, tout, rtol=2e-4, atol=2e-5)
 
 
