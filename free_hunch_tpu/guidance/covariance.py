@@ -95,12 +95,32 @@ def transport_score(cov: LowRank, cov_next: LowRank, sigma, sigma_next,
     """Analytic transport of (denoiser mean, score) to the new noise level.
 
     score' = H(s') H(s)^-1 score;  mean' = x + s'^2 score'
-    (reference :170-181). ``cov``/``cov_next`` are the states before/after
-    ``time_update``; H(s') is derived from cov_next via the family consistency.
+    (reference :170-181).
+
+    Stability redesign: the reference evaluates the product as two separate
+    near-singular operators — H(s) = (Sigma - s^2 I)/s^4 crosses ZERO on any
+    eigen-direction whose prior variance equals s^2 (guaranteed to happen
+    along the schedule with the dct_diagonal prior, whose eigenvalues span
+    ~8 orders of magnitude), so H^-1 blows up and the product is computed as
+    inf * 0; complex128 merely hides this (online_update_bfgs.py:153-192).
+    In Sigma's eigenbasis the composition telescopes exactly:
+
+        (s^4/s'^4) (p' - s'^2)/(p - s^2) = (s^2/s'^2) / (1 + a p),
+        a = 1/s'^2 - 1/s^2,   p' = 1/(1/p + a)
+
+    — the (p - s^2) singularity cancels algebraically. So
+
+        H(s') H(s)^-1 = (s^2/s'^2) (I + a Sigma)^-1,
+
+    which for s' < s is SPD with eigenvalues in (0, 1]: perfectly
+    conditioned, f32-safe, and evaluated with one Woodbury inverse of the
+    low-rank form. ``cov_next`` is retained in the signature for parity with
+    the two-state call sites but is not needed.
     """
-    hi = lowrank.inverse(hessian(cov, sigma))
-    h2 = hessian(cov_next, sigma_next)
-    score_next = lowrank.matvec(h2, lowrank.matvec(hi, score))
+    del cov_next
+    a = 1.0 / sigma_next**2 - 1.0 / sigma**2
+    op = lowrank.inverse(lowrank.affine(cov, a, 1.0))  # (I + a Sigma)^-1
+    score_next = (sigma**2 / sigma_next**2) * lowrank.matvec(op, score)
     mean_next = x + sigma_next**2 * score_next
     return mean_next, score_next
 

@@ -292,6 +292,10 @@ class FreeHunch(ConditioningMechanism):
     # reference lacks). At convergence the solution is unchanged; iterates at
     # loose rtol (large sigma) differ — disable for bit-level reference A/B.
     cg_precondition: bool = True
+    # consecutive non-improving CG iterations before a row is frozen at its
+    # best iterate (the reference has no stall detection and burns maxiter
+    # at the f32-unreachable rtol floor); raise for bit-level reference A/B
+    cg_stall_iters: int = 25
     # Elementwise bound on the guidance update sigma^2 * grad (robustness
     # knob): a near-singular estimated covariance can make one CG solve blow
     # up a single chain; bounding the per-call update keeps that chain sane
@@ -433,7 +437,8 @@ class FreeHunch(ConditioningMechanism):
                                  sigma_t=sigma, use_rtol_func=self.use_rtol_func,
                                  maxiter=self.cg_maxiter,
                                  cov_trace_mean=cov_vbar, return_info=True,
-                                 precondition=self.cg_precondition)
+                                 precondition=self.cg_precondition,
+                                 stall_iters=self.cg_stall_iters)
 
         if self.use_analytic_var_at_end:
             # low-sigma analytic-variance override (reference :273-278); only

@@ -67,23 +67,29 @@ def _flatten(v):
 
 def _run_cg(matvec_img: Callable, b_img: jnp.ndarray, rtol, maxiter: int,
             precond: Optional[Callable] = None, warm_start: bool = False,
-            min_iter: int = 0):
+            min_iter: int = 0, stall_iters: int = 25):
     """CG over (B, ...) image-shaped systems via flatten/unflatten.
 
-    warm_start starts from x0 = b and min_iter=1 forces one update before the
-    convergence test — together these reproduce the reference torch CG's
-    defaults (cg.py:143 ``x0 = M_mm(b)``; no pre-loop check), observable
-    whenever the rtol schedule is loose (rtol=1 at sigma_max)."""
+    warm_start starts from x0 = M(b) (the preconditioned RHS) and min_iter=1
+    forces one update before the convergence test — exactly the reference
+    torch CG's contract (cg.py:143 ``x0 = M_mm(b)``; no pre-loop check),
+    observable whenever the rtol schedule is loose (rtol=1 at sigma_max).
+    The reference always runs with M = identity, so disabling our
+    preconditioner recovers its x0 = b bit-for-bit; with the Fourier/Jacobi
+    M enabled the start lands near the solution and the loose-rtol solves
+    at large sigma converge in a handful of iterations."""
     shape = b_img.shape
 
     def mv(v):
         return _flatten(matvec_img(v.reshape(shape)))
 
     pc = None if precond is None else (lambda v: _flatten(precond(v.reshape(shape))))
+    x0 = None
+    if warm_start:
+        x0 = _flatten(precond(b_img) if precond is not None else b_img)
     u, info = cg_mod.cg_batch(mv, _flatten(b_img), rtol=rtol, maxiter=maxiter,
-                              precond=pc,
-                              x0=_flatten(b_img) if warm_start else None,
-                              min_iter=min_iter)
+                              precond=pc, x0=x0,
+                              min_iter=min_iter, stall_iters=stall_iters)
     return u.reshape(shape), info
 
 
@@ -128,7 +134,7 @@ def deblur_mat_closed_form(operator, y, x0_mean, theta0_var):
 def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                   rtol=1e-4, maxiter=1000, cov_trace_mean=None,
                   return_info=False, warm_start=False, min_iter=0,
-                  precondition=True):
+                  precondition=True, stall_iters=25):
     """General-covariance case (reference
     _deblur_mat_generic_customcuda_bfgs_tailored:490 and the scipy twin :529).
     Per CG iteration: u -> sigma_s^2 u + A C A^T u with A^T via FBC.
@@ -157,7 +163,8 @@ def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
 
     b = y - _ifft2_r(FB * _fft2(x0_mean))
     u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
-                      warm_start=warm_start, min_iter=min_iter)
+                      warm_start=warm_start, min_iter=min_iter,
+                      stall_iters=stall_iters)
     mat = _ifft2_r(FBC * _fft2(u))
     return (mat, info) if return_info else mat
 
@@ -181,7 +188,7 @@ def sr_mat_closed_form(operator, y, x0_mean, theta0_var):
 def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
               rtol=1e-4, maxiter=1000, cov_trace_mean=None,
               return_info=False, warm_start=False, min_iter=0,
-              precondition=True):
+              precondition=True, stall_iters=25):
     """(reference _super_resolution_mat_generic_customcuda_bfgs_tailored:641).
     Preconditioned with the polyphase-diagonal inverse for C = v_bar I."""
     sigma_s = jnp.clip(operator.sigma_s, min=0.01)
@@ -204,7 +211,8 @@ def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
 
     b = y - downsample(_ifft2_r(FB * _fft2(x0_mean)), sf)
     u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
-                      warm_start=warm_start, min_iter=min_iter)
+                      warm_start=warm_start, min_iter=min_iter,
+                      stall_iters=stall_iters)
     mat = _ifft2_r(FBC * _fft2(upsample(u, sf)))
     return (mat, info) if return_info else mat
 
@@ -223,7 +231,7 @@ def inpainting_mat_closed_form(operator, y, x0_mean, theta0_var):
 def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                       rtol=1e-4, maxiter=1000, cov_trace_mean=None,
                       return_info=False, warm_start=False, min_iter=0,
-                      precondition=True):
+                      precondition=True, stall_iters=25):
     """(reference _inpainting_mat_generic_customcuda_bfgs_tailored:385 / the
     diagonal-variance CG at :366-381). Jacobi-preconditioned with the exact
     diagonal for C = v_bar I."""
@@ -243,7 +251,8 @@ def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
 
     b = mask * y - mask * x0_mean
     mat, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
-                        warm_start=warm_start, min_iter=min_iter)
+                        warm_start=warm_start, min_iter=min_iter,
+                        stall_iters=stall_iters)
     return (mat, info) if return_info else mat
 
 
@@ -270,7 +279,7 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                   method: str = "cg", max_rtol: float = 1.0, sigma_t=None,
                   use_rtol_func: bool = False, maxiter: Optional[int] = None,
                   cov_trace_mean=None, return_info: bool = False,
-                  precondition: bool = True):
+                  precondition: bool = True, stall_iters: int = 25):
     """Solve for ``mat`` given an operator by name.
 
     method:
@@ -308,10 +317,11 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
                          rtol=rtol, maxiter=maxiter or 5000,
                          cov_trace_mean=cov_trace_mean, return_info=return_info,
-                         warm_start=True, min_iter=1, precondition=precondition)
+                         warm_start=True, min_iter=1, precondition=precondition,
+                         stall_iters=stall_iters)
     # scipy-equivalent path (and closed-form fallbacks with non-scalar var)
     rtol = rtol_schedule_2(sigma_t) if (sigma_t is not None and use_rtol_func) else 1e-4
     return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
                      rtol=rtol, maxiter=maxiter or 1000,
                      cov_trace_mean=cov_trace_mean, return_info=return_info,
-                     precondition=precondition)
+                     precondition=precondition, stall_iters=stall_iters)

@@ -52,7 +52,11 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     one update before testing — which is observable whenever rtol is loose
     (the schedule gives rtol=1.0 at sigma_max); min_iter=1 reproduces that.
 
-    Returns (x, CGInfo).
+    Returns (x, CGInfo) where x is the BEST-residual iterate, not the last:
+    on an indefinite system (the estimated covariance can transiently lose
+    PSD-ness) CG residuals diverge, and the reference returns whatever the
+    last iterate was; tracking the best costs one extra buffer and strictly
+    dominates (identical to last-iterate whenever CG converges monotonically).
     """
     dtype = b.dtype
     batch = b.shape[0]
@@ -73,12 +77,12 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     res0 = jnp.sqrt(_dot(r0, r0))
 
     def cond(state):
-        x, r, p, rz, i, active, best, stall = state
+        x, r, p, rz, i, active, best, stall, bx = state
         return jnp.logical_and(
             i < maxiter, jnp.logical_or(jnp.any(active), i < min_iter))
 
     def body(state):
-        x, r, p, rz, i, active, best, stall = state
+        x, r, p, rz, i, active, best, stall, bx = state
         # forced rows participate in the update even though their residual
         # already satisfies the tolerance (reference has no pre-loop check)
         act = jnp.logical_or(active, i < min_iter)
@@ -95,21 +99,27 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
         res = jnp.sqrt(_dot(r, r))
         improved = res < 0.999 * best
         stall = jnp.where(improved, 0, stall + 1)
-        best = jnp.minimum(best, res)
+        # during forced iterations the current iterate is taken
+        # unconditionally (the reference returns its first iterate even when
+        # the residual worsened); best-tracking engages after min_iter
+        forced = i < min_iter
+        take = jnp.logical_or(forced,
+                              jnp.logical_and(res < best, jnp.isfinite(res)))
+        bx = jnp.where(take[:, None], x, bx)
+        best = jnp.where(forced, res, jnp.minimum(best, res))
         active = jnp.logical_and(act, res > stop)
         active = jnp.logical_and(active, stall < stall_iters)
-        # freeze rows whose residual went non-finite (breakdown guard): the
-        # masked update above keeps their x at the last finite iterate
+        # freeze rows whose residual went non-finite (breakdown guard)
         active = jnp.logical_and(active, jnp.isfinite(res))
-        return x, r, p, rz_new, i + 1, active, best, stall
+        return x, r, p, rz_new, i + 1, active, best, stall, bx
 
     active0 = res0 > stop
     stall0 = jnp.zeros((batch,), jnp.int32)
-    x, r, p, rz, niter, active, best, stall = lax.while_loop(
+    x, r, p, rz, niter, active, best, stall, bx = lax.while_loop(
         cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), active0,
-                     res0, stall0))
-    res = jnp.sqrt(_dot(r, r))
-    return x, CGInfo(niter=niter, residual_norm=res, optimal=jnp.logical_not(active))
+                     res0, stall0, x0))
+    return bx, CGInfo(niter=niter, residual_norm=best,
+                      optimal=jnp.logical_not(active))
 
 
 def cg(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,

@@ -169,3 +169,71 @@ def test_batched_updates_vmap():
         jnp.arange(3))
     out = jax.jit(jax.vmap(lambda st: C.time_update(st, 2.0, 1.5)))(state)
     assert out.U.shape == (3, D, K)
+
+
+def test_transport_stable_at_hessian_singularity():
+    """The analytic transport H(s')H(s)^-1 is evaluated via the telescoped
+    closed form (s^2/s'^2)(I + a Sigma)^-1, which cancels the (p - s^2)
+    singularity the reference's two-inverse product hits whenever a prior
+    eigenvalue crosses s^2 (inevitable with the dct_diagonal prior). This
+    test plants eigenvalues ON and NEAR the crossing and checks the f32
+    result against an f64 oracle evaluated away from the removable
+    singularity via the same closed form, plus the naive dense product where
+    it is still computable."""
+    import numpy as np
+
+    from free_hunch_tpu.guidance import covariance as C
+    from free_hunch_tpu.ops import lowrank
+
+    sigma, sigma_next = 4.0, 3.0
+    d = 8
+    # eigenvalues straddling sigma^2 = 16: exactly on it, 1e-5 off it, far
+    diag = np.array([16.0, 16.0 * (1 + 1e-5), 16.0 * (1 - 1e-5),
+                     1e-4, 1e-2, 1.0, 1e2, 1e4], np.float64)
+    x = np.linspace(-1, 1, d)
+    score = np.linspace(0.5, -0.5, d)
+
+    # f64 oracle via the closed form
+    a = 1.0 / sigma_next**2 - 1.0 / sigma**2
+    want_score = (sigma**2 / sigma_next**2) * score / (1.0 + a * diag)
+    want_mean = x + sigma_next**2 * want_score
+
+    # naive dense product f64 (computable here away from exact-crossing rows)
+    H = (diag - sigma**2) / sigma**4
+    ok = np.abs(H) > 1e-12
+    naive = np.zeros_like(score)
+    Hn = (1.0 / (1.0 / diag[ok] + a) - sigma_next**2) / sigma_next**4
+    naive[ok] = Hn * (score[ok] / H[ok])
+    np.testing.assert_allclose(
+        (sigma**2 / sigma_next**2) * score[ok] / (1 + a * diag[ok]),
+        naive[ok], rtol=1e-6)  # closed form == naive product off-singularity
+
+    # f32 low-rank implementation
+    cov = C.init_state(jnp.asarray(diag, jnp.float32), d, capacity=4)
+    cov2 = C.time_update(cov, sigma, sigma_next)
+    mean32, score32 = C.transport_score(cov, cov2, sigma, sigma_next,
+                                        jnp.asarray(x, jnp.float32),
+                                        jnp.asarray(score, jnp.float32))
+    np.testing.assert_allclose(np.asarray(score32), want_score, rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mean32), want_mean, rtol=2e-5,
+                               atol=1e-5)
+    assert np.isfinite(np.asarray(score32)).all()
+
+    # with a low-rank part straddling the crossing too
+    u = np.zeros((d,), np.float32)
+    u[0] = 1.0
+    cov_lr = lowrank.append_pair(cov, jnp.asarray(u), 0.5,
+                                 jnp.asarray(u[::-1].copy()), 0.25)
+    cov_lr2 = C.time_update(cov_lr, sigma, sigma_next)
+    m_lr, s_lr = C.transport_score(cov_lr, cov_lr2, sigma, sigma_next,
+                                   jnp.asarray(x, jnp.float32),
+                                   jnp.asarray(score, jnp.float32))
+    assert np.isfinite(np.asarray(s_lr)).all()
+    # f64 dense oracle for the low-rank case via the closed form
+    Sig = np.diag(diag).astype(np.float64)
+    Sig[0, 0] += 0.5
+    Sig += 0.25 * np.outer(u[::-1], u[::-1])
+    op = np.linalg.inv(np.eye(d) + a * Sig) * (sigma**2 / sigma_next**2)
+    np.testing.assert_allclose(np.asarray(s_lr), op @ score, rtol=1e-4,
+                               atol=1e-5)

@@ -47,3 +47,66 @@ def test_freehunch_guided_gmm_posterior_moments():
     assert np.all(np.diag(got_cov) > 0.2 * np.diag(post_cov) - 0.05)
     # the observed coordinate is pinned near the measurement
     assert abs(got_mean[0] - 1.8) < 0.3
+
+
+def _w2_1d(a: np.ndarray, b: np.ndarray) -> float:
+    """1-D Wasserstein-2 between two equal-size sample sets (sorted-quantile
+    coupling)."""
+    n = min(len(a), len(b))
+    qa = np.sort(a)[np.linspace(0, len(a) - 1, n).astype(int)]
+    qb = np.sort(b)[np.linspace(0, len(b) - 1, n).astype(int)]
+    return float(np.sqrt(np.mean((qa - qb) ** 2)))
+
+
+def test_freehunch_guided_gmm_posterior_shape_bimodal():
+    """Distribution-shape comparison of the guided samples against the EXACT
+    conditional posterior (VERDICT r1 weak #8: the moments check alone does
+    not pin the posterior shape). A weakly-informative measurement keeps the
+    posterior bimodal; per-coordinate W2 against exact posterior samples and
+    the recovered mode weights must both match (reference figure_2.ipynb /
+    diffusion_gaussian_mixture_utils.py:926)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    means = jnp.asarray([[2.0, 1.5], [-2.0, -1.0]], jnp.float32)
+    covs = []
+    for _ in range(2):
+        a = rng.normal(size=(2, 2)) * 0.4
+        covs.append(a @ a.T + 0.3 * np.eye(2))
+    gmm = G.GaussianMixture(jnp.asarray([0.5, 0.5], jnp.float32), means,
+                            jnp.asarray(np.stack(covs), jnp.float32))
+
+    # observe only the SECOND coordinate at a value between the modes:
+    # both modes stay plausible -> bimodal posterior
+    mask = np.array([0.0, 1.0], np.float32)
+    y = np.array([0.0, 0.4, ], np.float32)
+    sigma_y = 0.8
+
+    samples, posterior = sample_gmm_posterior(gmm, mask, y, sigma_y, n=4096,
+                                              num_steps=50)
+    exact = np.asarray(posterior.sample(jax.random.PRNGKey(7), (4096,)))
+
+    # posterior must be genuinely bimodal for this test to mean anything
+    w = np.asarray(posterior.weights)
+    assert w.min() > 0.15, f"posterior degenerated to unimodal: {w}"
+
+    # per-coordinate Wasserstein-2 between guided and exact samples
+    for d in range(2):
+        w2 = _w2_1d(samples[:, d], exact[:, d])
+        spread = exact[:, d].std()
+        assert w2 < 0.25 * spread + 0.1, (d, w2, spread)
+
+    # mode-weight recovery: assign samples to the nearer posterior mode
+    pm = np.asarray(posterior.means)
+    d0 = np.linalg.norm(samples - pm[0], axis=1)
+    d1 = np.linalg.norm(samples - pm[1], axis=1)
+    got_w0 = float((d0 < d1).mean())
+    d0e = np.linalg.norm(exact - pm[0], axis=1)
+    d1e = np.linalg.norm(exact - pm[1], axis=1)
+    exact_w0 = float((d0e < d1e).mean())
+    assert abs(got_w0 - exact_w0) < 0.12, (got_w0, exact_w0)
+
+    # full 2x2 covariance agreement (not just the diagonal)
+    got_cov = np.cov(samples.T)
+    exact_cov = np.cov(exact.T)
+    assert np.abs(got_cov - exact_cov).max() < 0.35 * np.abs(exact_cov).max() + 0.1
