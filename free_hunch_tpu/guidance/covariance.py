@@ -41,6 +41,10 @@ from free_hunch_tpu.ops.lowrank import LowRank
 class CovParams(NamedTuple):
     """Static hyper-parameters of the covariance model."""
     project_to_diagonal: bool = False
+    # skip BFGS pairs with non-positive secant curvature (standard BFGS rule;
+    # keeps Sigma_0 PSD). The reference appends unconditionally (:261-284) —
+    # disable for bit-level A/B against it.
+    curvature_guard: bool = True
 
 
 def init_state(init_denoiser_variance: jnp.ndarray, data_dim: int, capacity: int,
@@ -141,12 +145,18 @@ def space_update(cov: LowRank, sigma, x: jnp.ndarray, x_next: jnp.ndarray,
     tiny = jnp.finfo(dtype).tiny
     dxsv = jnp.sum(dx * sv)
     dxde = jnp.sum(dx * de)
-    # Curvature guard (robustness addition over the reference, which appends
-    # unconditionally :261-284): the BFGS update is only applied when the
-    # secant curvature dx.de and the current quadratic form dx.S.dx are
-    # positive; otherwise the pair is noise-dominated and would make Sigma_0
-    # indefinite. Skipping such pairs is the standard BFGS rule.
-    valid = jnp.logical_and(dxde > tiny, dxsv > tiny)
+    if params.curvature_guard:
+        # Curvature guard (robustness addition over the reference, which
+        # appends unconditionally :261-284): the BFGS update is only applied
+        # when the secant curvature dx.de and the current quadratic form
+        # dx.S.dx are positive; otherwise the pair is noise-dominated and
+        # would make Sigma_0 indefinite. Skipping such pairs is the standard
+        # BFGS rule.
+        valid = jnp.logical_and(dxde > tiny, dxsv > tiny)
+    else:
+        # reference behaviour: append regardless of sign (only exact zeros
+        # are skipped — they would divide to inf)
+        valid = jnp.logical_and(jnp.abs(dxde) > tiny, jnp.abs(dxsv) > tiny)
     c_neg = jnp.where(valid, -1.0 / jnp.where(valid, dxsv, 1.0), 0.0)
     gamma = jnp.where(valid, 1.0 / jnp.where(valid, dxde, 1.0), 0.0)
     if params.project_to_diagonal:

@@ -296,6 +296,10 @@ class FreeHunch(ConditioningMechanism):
     # best iterate (the reference has no stall detection and burns maxiter
     # at the f32-unreachable rtol floor); raise for bit-level reference A/B
     cg_stall_iters: int = 25
+    # skip BFGS pairs with non-positive secant curvature (standard BFGS rule,
+    # keeps Sigma_0 PSD; the reference appends unconditionally) — disable for
+    # bit-level reference A/B
+    bfgs_curvature_guard: bool = True
     # Elementwise bound on the guidance update sigma^2 * grad (robustness
     # knob): a near-singular estimated covariance can make one CG solve blow
     # up a single chain; bounding the per-call update keeps that chain sane
@@ -410,7 +414,9 @@ class FreeHunch(ConditioningMechanism):
             do_space = jnp.logical_and(x_changed, in_window)
 
             def space(cov_in):
-                params = cov_mod.CovParams(project_to_diagonal=self.project_to_diagonal)
+                params = cov_mod.CovParams(
+                    project_to_diagonal=self.project_to_diagonal,
+                    curvature_guard=self.bfgs_curvature_guard)
                 return jax.vmap(cov_mod.space_update,
                                 in_axes=(0, None, 0, 0, 0, 0, None))(
                     cov_in, sigma, prev_x_b, self._to_basis(x_t),
@@ -430,6 +436,11 @@ class FreeHunch(ConditioningMechanism):
         d_dim = cov.diag.shape[-1]
         lr_trace = jax.vmap(lambda c: jnp.sum(c.M * (c.U.T @ c.U)))(cov)
         cov_vbar = (jnp.sum(cov.diag, axis=-1) + lr_trace) / d_dim
+        # DCT bases: the state's diagonal is a per-frequency variance —
+        # feed it to the spectral preconditioner (the scalar mean is off by
+        # orders of magnitude across the dct prior's spectrum)
+        cov_dct_diag = (cov.diag if self.image_base_covariance.startswith("dct")
+                        else None)
 
         def cov_mat(_):
             return choose_solver(self.forward_operator, y, x0, cov_mv=cov_mv,
@@ -438,7 +449,8 @@ class FreeHunch(ConditioningMechanism):
                                  maxiter=self.cg_maxiter,
                                  cov_trace_mean=cov_vbar, return_info=True,
                                  precondition=self.cg_precondition,
-                                 stall_iters=self.cg_stall_iters)
+                                 stall_iters=self.cg_stall_iters,
+                                 cov_dct_diag=cov_dct_diag)
 
         if self.use_analytic_var_at_end:
             # low-sigma analytic-variance override (reference :273-278); only

@@ -70,25 +70,23 @@ def _run_cg(matvec_img: Callable, b_img: jnp.ndarray, rtol, maxiter: int,
             min_iter: int = 0, stall_iters: int = 25):
     """CG over (B, ...) image-shaped systems via flatten/unflatten.
 
-    warm_start starts from x0 = M(b) (the preconditioned RHS) and min_iter=1
-    forces one update before the convergence test — exactly the reference
-    torch CG's contract (cg.py:143 ``x0 = M_mm(b)``; no pre-loop check),
-    observable whenever the rtol schedule is loose (rtol=1 at sigma_max).
-    The reference always runs with M = identity, so disabling our
-    preconditioner recovers its x0 = b bit-for-bit; with the Fourier/Jacobi
-    M enabled the start lands near the solution and the loose-rtol solves
-    at large sigma converge in a handful of iterations."""
+    warm_start starts from x0 = b and min_iter=1 forces one update before the
+    convergence test — the reference torch CG's defaults (cg.py:143
+    ``x0 = M_mm(b)`` with M = identity in every shipped config; no pre-loop
+    check), observable whenever the rtol schedule is loose (rtol=1 at
+    sigma_max). Starting from M(b) with the Fourier preconditioner was
+    measured SLOWER: the inverse amplifies near-null-space components of b
+    (blur spectrum ~ 0 at high frequency) by 1/sigma_s^2, and CG then spends
+    ~170 iterations undoing them."""
     shape = b_img.shape
 
     def mv(v):
         return _flatten(matvec_img(v.reshape(shape)))
 
     pc = None if precond is None else (lambda v: _flatten(precond(v.reshape(shape))))
-    x0 = None
-    if warm_start:
-        x0 = _flatten(precond(b_img) if precond is not None else b_img)
     u, info = cg_mod.cg_batch(mv, _flatten(b_img), rtol=rtol, maxiter=maxiter,
-                              precond=pc, x0=x0,
+                              precond=pc,
+                              x0=_flatten(b_img) if warm_start else None,
                               min_iter=min_iter, stall_iters=stall_iters)
     return u.reshape(shape), info
 
@@ -98,6 +96,23 @@ def _apply_c(v, theta0_var=None, cov_mv: Optional[Callable] = None):
     if cov_mv is not None:
         return cov_mv(v)
     return theta0_var * v
+
+
+def _dct_spec_to_fourier(spec: jnp.ndarray) -> jnp.ndarray:
+    """Map per-DCT-coefficient variances (B, C, H, W) to an approximate DFT
+    power spectrum on the same grid. DCT-II index k corresponds to spatial
+    frequency k/(2N) cycles/sample while DFT bin i (folded) is
+    min(i, N-i)/N — i.e. DCT index ~ 2x the folded DFT index. The remap is a
+    gather, exact enough for preconditioning (a factor-level spectral model
+    beats the scalar mean by the prior's ~8 decades of dynamic range)."""
+    H, W = spec.shape[-2], spec.shape[-1]
+
+    def idx(n):
+        i = jnp.arange(n)
+        f = jnp.minimum(i, n - i)
+        return jnp.minimum(2 * f, n - 1)
+
+    return spec[..., idx(H), :][..., :, idx(W)]
 
 
 def _mean_variance(theta0_var, cov_trace_mean, x_like):
@@ -134,7 +149,7 @@ def deblur_mat_closed_form(operator, y, x0_mean, theta0_var):
 def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                   rtol=1e-4, maxiter=1000, cov_trace_mean=None,
                   return_info=False, warm_start=False, min_iter=0,
-                  precondition=True, stall_iters=25):
+                  precondition=True, stall_iters=25, cov_fourier_spec=None):
     """General-covariance case (reference
     _deblur_mat_generic_customcuda_bfgs_tailored:490 and the scipy twin :529).
     Per CG iteration: u -> sigma_s^2 u + A C A^T u with A^T via FBC.
@@ -154,12 +169,19 @@ def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         v = _ifft2_r(FB * _fft2(v))           # A .
         return sigma_s**2 * u + v
 
-    vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean) \
-        if precondition else None
     precond = None
-    if vbar is not None:
-        denom = sigma_s**2 + vbar[:, None, None, None] * F2B
+    if precondition and cov_fourier_spec is not None:
+        # spectral preconditioner: per-frequency variance estimate from the
+        # covariance state's DCT diagonal (vs the scalar mean eigenvalue,
+        # which is wrong by orders of magnitude across the dct prior's
+        # spectrum)
+        denom = sigma_s**2 + jnp.maximum(cov_fourier_spec, 1e-8) * F2B
         precond = lambda r: _ifft2_r(_fft2(r) / denom)
+    elif precondition:
+        vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean)
+        if vbar is not None:
+            denom = sigma_s**2 + vbar[:, None, None, None] * F2B
+            precond = lambda r: _ifft2_r(_fft2(r) / denom)
 
     b = y - _ifft2_r(FB * _fft2(x0_mean))
     u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
@@ -188,7 +210,7 @@ def sr_mat_closed_form(operator, y, x0_mean, theta0_var):
 def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
               rtol=1e-4, maxiter=1000, cov_trace_mean=None,
               return_info=False, warm_start=False, min_iter=0,
-              precondition=True, stall_iters=25):
+              precondition=True, stall_iters=25, cov_fourier_spec=None):
     """(reference _super_resolution_mat_generic_customcuda_bfgs_tailored:641).
     Preconditioned with the polyphase-diagonal inverse for C = v_bar I."""
     sigma_s = jnp.clip(operator.sigma_s, min=0.01)
@@ -201,13 +223,19 @@ def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         v = downsample(_ifft2_r(FB * _fft2(v)), sf)
         return sigma_s**2 * u + v
 
-    vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean) \
-        if precondition else None
     precond = None
-    if vbar is not None:
+    if precondition and cov_fourier_spec is not None:
+        low = cov_fourier_spec[..., : cov_fourier_spec.shape[-2] // sf,
+                               : cov_fourier_spec.shape[-1] // sf]
         invW = jnp.mean(splits(jnp.asarray(F2B), sf), axis=-1)
-        denom = sigma_s**2 + vbar[:, None, None, None] * invW
+        denom = sigma_s**2 + jnp.maximum(low, 1e-8) * invW
         precond = lambda r: _ifft2_r(_fft2(r) / denom)
+    elif precondition:
+        vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean)
+        if vbar is not None:
+            invW = jnp.mean(splits(jnp.asarray(F2B), sf), axis=-1)
+            denom = sigma_s**2 + vbar[:, None, None, None] * invW
+            precond = lambda r: _ifft2_r(_fft2(r) / denom)
 
     b = y - downsample(_ifft2_r(FB * _fft2(x0_mean)), sf)
     u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
@@ -231,7 +259,7 @@ def inpainting_mat_closed_form(operator, y, x0_mean, theta0_var):
 def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                       rtol=1e-4, maxiter=1000, cov_trace_mean=None,
                       return_info=False, warm_start=False, min_iter=0,
-                      precondition=True, stall_iters=25):
+                      precondition=True, stall_iters=25, cov_fourier_spec=None):
     """(reference _inpainting_mat_generic_customcuda_bfgs_tailored:385 / the
     diagonal-variance CG at :366-381). Jacobi-preconditioned with the exact
     diagonal for C = v_bar I."""
@@ -279,7 +307,8 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                   method: str = "cg", max_rtol: float = 1.0, sigma_t=None,
                   use_rtol_func: bool = False, maxiter: Optional[int] = None,
                   cov_trace_mean=None, return_info: bool = False,
-                  precondition: bool = True, stall_iters: int = 25):
+                  precondition: bool = True, stall_iters: int = 25,
+                  cov_dct_diag=None):
     """Solve for ``mat`` given an operator by name.
 
     method:
@@ -307,6 +336,9 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     if name not in _CLOSED:
         raise ValueError(f"no mat solver for operator {name!r}; expected one of "
                          f"{sorted(_CLOSED)}")
+    spec = None
+    if cov_dct_diag is not None:
+        spec = _dct_spec_to_fourier(cov_dct_diag.reshape(x0_mean.shape))
     scalarish = (cov_mv is None and theta0_var is not None
                  and jnp.ndim(theta0_var) == 0)
     if method in ("closed_form", "scipy") and scalarish:
@@ -318,10 +350,11 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                          rtol=rtol, maxiter=maxiter or 5000,
                          cov_trace_mean=cov_trace_mean, return_info=return_info,
                          warm_start=True, min_iter=1, precondition=precondition,
-                         stall_iters=stall_iters)
+                         stall_iters=stall_iters, cov_fourier_spec=spec)
     # scipy-equivalent path (and closed-form fallbacks with non-scalar var)
     rtol = rtol_schedule_2(sigma_t) if (sigma_t is not None and use_rtol_func) else 1e-4
     return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
                      rtol=rtol, maxiter=maxiter or 1000,
                      cov_trace_mean=cov_trace_mean, return_info=return_info,
-                     precondition=precondition, stall_iters=stall_iters)
+                     precondition=precondition, stall_iters=stall_iters,
+                     cov_fourier_spec=spec)

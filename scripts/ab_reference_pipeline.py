@@ -411,7 +411,10 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
                      data_dim=3 * res * res, image_base_covariance=basis,
                      data_dir="/root/reference/data/imagenet/",
                      init_noise_variance=sigma0**2, cov_capacity=4 * steps,
-                     solver_type="customcuda", cg_precondition=False, **common)
+                     solver_type="customcuda", cg_precondition=False,
+                     # bit-level A/B: the reference appends BFGS pairs
+                     # unconditionally (no curvature guard)
+                     bfgs_curvature_guard=False, **common)
 
     state = mine.init_state(1, (3, res, res))
     x = jnp.asarray(noise) * sigma0_scaled
