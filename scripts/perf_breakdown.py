@@ -147,6 +147,10 @@ def main():
         lowered = jfn.lower(params, noise, y, jax.random.fold_in(key, 3))
         compiled = lowered.compile()
         compile_s = time.time() - t0
+        # NOTE: cost_analysis on a scanned graph counts each while/scan BODY
+        # once, so it wildly under-reports total FLOPs — do NOT use it for
+        # MFU. True totals are derived from the single-eval forward FLOPs
+        # (59 evals; the vjp adds ~2x the forward).
         flops = None
         try:
             flops = float(compiled.cost_analysis()["flops"])
@@ -165,9 +169,18 @@ def main():
         entry = dict(best_s=round(best, 3), samples_per_min=round(batch * 60 / best, 2),
                      compile_s=round(compile_s, 1))
         if flops:
-            entry["total_tflops"] = round(flops / 1e12, 1)
+            entry["scan_body_tflops_DO_NOT_USE_FOR_MFU"] = round(flops / 1e12, 1)
+        fwd = results.get("unet_fwd_tflops_batch")
+        if fwd:
+            evals = 2 * num_steps - 1
+            # fwd-only / fwd+vjp true FLOP totals; guidance-algebra variants
+            # report the fwd+vjp MFU floor (their extra FFT/GEMM flops are
+            # small next to the UNet)
+            mult = {"unguided": 1.0}.get(name, 3.0)
+            total = evals * fwd * mult
+            entry["true_total_tflops"] = round(total, 1)
             entry["mfu_vs_v5e_bf16_peak"] = round(
-                flops / 1e12 / best / V5E_BF16_PEAK_TFLOPS, 4)
+                total / best / V5E_BF16_PEAK_TFLOPS, 4)
         results[name] = entry
         log(f"[{name}] {entry}")
 
