@@ -107,6 +107,14 @@ def test_free_hunch_e2e_dct_basis_blur():
     assert np.isfinite(x).all()
 
 
+def test_free_hunch_e2e_dct_basis_super_resolution():
+    """FreeHunch + SR exercises the spectral CG preconditioner's polyphase
+    low-frequency slice (solvers.sr_mat_cg cov_fourier_spec path)."""
+    x = _run("online_covariance", "super_resolution", num_steps=3,
+             image_base_covariance="dct_diagonal_noinfo")
+    assert np.isfinite(x).all()
+
+
 def test_free_hunch_state_accumulates_columns():
     pre, denoise = _net()
     op = _operator("inpainting")
