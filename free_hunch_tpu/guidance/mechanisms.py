@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from free_hunch_tpu.guidance import covariance as cov_mod
-from free_hunch_tpu.guidance.solvers import choose_solver
+from free_hunch_tpu.guidance.solvers import RTOL_F32_FLOOR, choose_solver
 from free_hunch_tpu.operators import assets
 from free_hunch_tpu.ops.dct import dct_2d, idct_2d
 from free_hunch_tpu.ops.lowrank import LowRank
@@ -60,25 +60,29 @@ def choose_conditioning_mechanism(name: str):
 
 
 class EmptyState(NamedTuple):
-    """Carry for stateless mechanisms. ``cg_niter``/``cg_resnorm`` record the
-    most recent guidance solve's iteration count and mean final residual (the
-    reference computes but discards its torch-CG info dict, cg.py:116)."""
+    """Carry for stateless mechanisms. ``cg_niter``/``cg_resnorm``/
+    ``cg_optfrac`` record the most recent guidance solve's iteration count,
+    mean final residual and converged-row fraction (the reference computes
+    but discards its torch-CG info dict, cg.py:116)."""
     step: jnp.ndarray       # () int32
     cg_niter: jnp.ndarray   # () int32 — iterations of the last mat solve
     cg_resnorm: jnp.ndarray  # () f32 — batch-mean final residual norm
+    cg_optfrac: jnp.ndarray  # () f32 — fraction of rows converged to rtol
 
 
 def _empty_state() -> EmptyState:
     return EmptyState(step=jnp.asarray(0, jnp.int32),
                       cg_niter=jnp.asarray(0, jnp.int32),
-                      cg_resnorm=jnp.asarray(0.0, jnp.float32))
+                      cg_resnorm=jnp.asarray(0.0, jnp.float32),
+                      cg_optfrac=jnp.asarray(1.0, jnp.float32))
 
 
 def _record_cg(state, info):
     """Stamp a solve's CGInfo onto the mechanism state."""
     return state._replace(cg_niter=jnp.asarray(info.niter, jnp.int32),
                           cg_resnorm=jnp.mean(info.residual_norm)
-                          .astype(jnp.float32))
+                          .astype(jnp.float32),
+                          cg_optfrac=jnp.mean(info.optimal.astype(jnp.float32)))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -259,6 +263,7 @@ class FreeHunchState(NamedTuple):
     step: jnp.ndarray         # () int32
     cg_niter: jnp.ndarray     # () int32 — iterations of the last mat solve
     cg_resnorm: jnp.ndarray   # () f32 — batch-mean final residual norm
+    cg_optfrac: jnp.ndarray   # () f32 — fraction of rows converged to rtol
 
 
 @dataclasses.dataclass(frozen=True)
@@ -296,6 +301,11 @@ class FreeHunch(ConditioningMechanism):
     # best iterate (the reference has no stall detection and burns maxiter
     # at the f32-unreachable rtol floor); raise for bit-level reference A/B
     cg_stall_iters: int = 25
+    # return the best-residual CG iterate (robustness improvement; strictly
+    # dominates when residuals diverge). The reference returns the LAST
+    # iterate — at loose rtol on an ill-conditioned system the two pick
+    # different points of the same CG path; disable for bit-level A/B.
+    cg_track_best: bool = True
     # skip BFGS pairs with non-positive secant curvature (standard BFGS rule,
     # keeps Sigma_0 PSD; the reference appends unconditionally) — disable for
     # bit-level reference A/B
@@ -312,6 +322,19 @@ class FreeHunch(ConditioningMechanism):
     # consistent; the reference leaves it unbounded (a clip at :245 is
     # commented out upstream). None = reference behaviour.
     transport_mean_bound: Optional[float] = None
+    # Precision of the covariance algebra + CG solve (the denoiser itself
+    # always runs in its own dtype and its guidance vjp stays f32, matching
+    # the reference's torch.Tensor() downcast of `mat`). 'float64' requires
+    # jax_enable_x64 and mirrors the reference's complex128-on-CPU state
+    # (online_update_bfgs.py:12) for precision-control A/B runs; None = f32.
+    algebra_dtype: Optional[str] = None
+    # Floor for the sigma-adaptive CG rtol schedule. The f32 default stops
+    # solves at the f32-achievable residual; f64 A/B runs can lower it.
+    rtol_floor: float = RTOL_F32_FLOOR
+
+    @property
+    def _adt(self):
+        return jnp.dtype(self.algebra_dtype) if self.algebra_dtype else jnp.float32
 
     # -- basis --------------------------------------------------------------
 
@@ -334,9 +357,9 @@ class FreeHunch(ConditioningMechanism):
                 dv = assets.load_dct_variance_from_dir(self.data_dir)
             else:
                 dv = assets.dct_variance(self.dataset)
-            return jnp.asarray(dv, jnp.float32).reshape(-1)[:d]
+            return jnp.asarray(dv, self._adt).reshape(-1)[:d]
         if self.image_base_covariance in ("dct_diagonal_noinfo", "identity"):
-            return jnp.full((d,), float(self.init_denoiser_variance), jnp.float32)
+            return jnp.full((d,), float(self.init_denoiser_variance), self._adt)
         raise ValueError(f"unknown image_base_covariance "
                          f"{self.image_base_covariance!r} (pca_dct_diagonal was dead "
                          f"code upstream — see SURVEY.md §7.4)")
@@ -346,12 +369,13 @@ class FreeHunch(ConditioningMechanism):
         diag = self._init_diag(img_shape)
         cov1 = cov_mod.init_state(diag, d, self.cov_capacity)
         cov = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape).copy(), cov1)
-        zeros = jnp.zeros((batch,) + tuple(img_shape), jnp.float32)
-        return FreeHunchState(cov=cov, prev_sigma=jnp.asarray(0.0, jnp.float32),
+        zeros = jnp.zeros((batch,) + tuple(img_shape), self._adt)
+        return FreeHunchState(cov=cov, prev_sigma=jnp.asarray(0.0, self._adt),
                               prev_x=zeros, prev_mean=zeros,
                               step=jnp.asarray(0, jnp.int32),
                               cg_niter=jnp.asarray(0, jnp.int32),
-                              cg_resnorm=jnp.asarray(0.0, jnp.float32))
+                              cg_resnorm=jnp.asarray(0.0, jnp.float32),
+                              cg_optfrac=jnp.asarray(1.0, jnp.float32))
 
     # -- covariance ops batched over samples ---------------------------------
 
@@ -369,8 +393,18 @@ class FreeHunch(ConditioningMechanism):
 
     def x0_mean_update(self, denoise, x_t, y, sigma, state: FreeHunchState):
         img_shape = x_t.shape[1:]
-        sigma = jnp.asarray(sigma, jnp.float32)
-        x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
+        # the denoiser and its guidance vjp always run in f32; only the
+        # covariance algebra + CG solve use algebra_dtype (the reference
+        # likewise runs the torch net in f32 and the state in complex128,
+        # downcasting `mat` via torch.Tensor() before the autograd pullback)
+        x_net = x_t.astype(jnp.float32)
+        sigma_net = jnp.asarray(sigma, jnp.float32)
+        x0, _, pullback = _denoise_with_vjp(denoise, x_net, sigma_net)
+        adt = self._adt
+        sigma = jnp.asarray(sigma, adt)
+        x_t = x_t.astype(adt)
+        y = y.astype(adt)
+        x0_a = x0.astype(adt)
 
         has_prev = state.step > 0
         sigma_changed = jnp.logical_and(has_prev, sigma != state.prev_sigma)
@@ -403,8 +437,8 @@ class FreeHunch(ConditioningMechanism):
             # (2) optional extra network evaluation at (prev_x, sigma)
             if not self.use_analytical_score_time_update:
                 def re_eval(_):
-                    m, _v = denoise(state.prev_x, sigma)
-                    return self._to_basis(m)
+                    m, _v = denoise(state.prev_x.astype(jnp.float32), sigma_net)
+                    return self._to_basis(m.astype(adt))
                 prev_mean_at_sigma_b = jax.lax.cond(
                     x_changed, re_eval, lambda _: prev_mean_at_sigma_b, None)
 
@@ -420,7 +454,7 @@ class FreeHunch(ConditioningMechanism):
                 return jax.vmap(cov_mod.space_update,
                                 in_axes=(0, None, 0, 0, 0, 0, None))(
                     cov_in, sigma, prev_x_b, self._to_basis(x_t),
-                    prev_mean_at_sigma_b, self._to_basis(x0), params)
+                    prev_mean_at_sigma_b, self._to_basis(x0_a), params)
 
             cov = jax.lax.cond(do_space, space, lambda c: c, cov)
         else:
@@ -443,14 +477,16 @@ class FreeHunch(ConditioningMechanism):
                         else None)
 
         def cov_mat(_):
-            return choose_solver(self.forward_operator, y, x0, cov_mv=cov_mv,
+            return choose_solver(self.forward_operator, y, x0_a, cov_mv=cov_mv,
                                  method=self.solver_type, max_rtol=self.max_rtol,
                                  sigma_t=sigma, use_rtol_func=self.use_rtol_func,
                                  maxiter=self.cg_maxiter,
                                  cov_trace_mean=cov_vbar, return_info=True,
                                  precondition=self.cg_precondition,
                                  stall_iters=self.cg_stall_iters,
-                                 cov_dct_diag=cov_dct_diag)
+                                 cov_dct_diag=cov_dct_diag,
+                                 rtol_floor=self.rtol_floor,
+                                 track_best=self.cg_track_best)
 
         if self.use_analytic_var_at_end:
             # low-sigma analytic-variance override (reference :273-278); only
@@ -463,8 +499,8 @@ class FreeHunch(ConditioningMechanism):
 
             def analytic_mat(_):
                 return choose_solver(
-                    self.forward_operator, y, x0,
-                    theta0_var=jnp.broadcast_to(var, x0.shape),
+                    self.forward_operator, y, x0_a,
+                    theta0_var=jnp.broadcast_to(var, x0.shape).astype(adt),
                     method="scipy", max_rtol=self.max_rtol,
                     maxiter=self.cg_maxiter, return_info=True)
 
@@ -474,14 +510,18 @@ class FreeHunch(ConditioningMechanism):
             mat, cg_info = cov_mat(None)
 
         # (5) guidance gradient: vjp of mat through the UNet, with the
-        # large-update fallback Sigma_0 mat / sigma^2 (reference :280-288)
-        grad = pullback(jax.lax.stop_gradient(mat))
-        upd_std = jnp.std((grad * sigma**2).reshape(grad.shape[0], -1), axis=-1)
-        fallback = self.cov_matvec_pixel(cov, jax.lax.stop_gradient(mat)) / sigma**2
+        # large-update fallback Sigma_0 mat / sigma^2 (reference :280-288).
+        # mat is downcast to f32 for the pullback exactly as the reference's
+        # torch.Tensor() conversion does before autograd.grad.
+        mat_f32 = jax.lax.stop_gradient(mat).astype(jnp.float32)
+        grad = pullback(mat_f32)
+        upd_std = jnp.std((grad * sigma_net**2).reshape(grad.shape[0], -1), axis=-1)
+        fallback = (self.cov_matvec_pixel(cov, jax.lax.stop_gradient(mat))
+                    / sigma**2).astype(jnp.float32)
         use_fb = jnp.logical_and(jnp.logical_not(analytic_case),
                                  upd_std > self.denoiser_mean_error_threshold)
         grad = jnp.where(use_fb[:, None, None, None], fallback, grad)
-        update = grad * self.cond_scaling * sigma**2
+        update = grad * self.cond_scaling * sigma_net**2
         if self.guidance_update_bound is not None:
             gb = float(self.guidance_update_bound)
             update = jnp.clip(update, -gb, gb)
@@ -492,8 +532,9 @@ class FreeHunch(ConditioningMechanism):
         x0_new = x0 + update
 
         new_state = FreeHunchState(
-            cov=cov, prev_sigma=sigma, prev_x=x_t, prev_mean=x0,
+            cov=cov, prev_sigma=sigma, prev_x=x_t, prev_mean=x0_a,
             step=state.step + 1,
             cg_niter=jnp.asarray(cg_info.niter, jnp.int32),
-            cg_resnorm=jnp.mean(cg_info.residual_norm).astype(jnp.float32))
+            cg_resnorm=jnp.mean(cg_info.residual_norm).astype(jnp.float32),
+            cg_optfrac=jnp.mean(cg_info.optimal.astype(jnp.float32)))
         return x0_new, new_state

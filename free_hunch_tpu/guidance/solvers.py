@@ -54,11 +54,13 @@ def rtol_schedule_2(sigma, rtol_max=1.0, rtol_min=1e-4, p=0.05):
 
 
 def _fft2(x):
-    return jnp.fft.fft2(x.astype(jnp.complex64))
+    cdt = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+    return jnp.fft.fft2(x.astype(cdt))
 
 
 def _ifft2_r(x):
-    return jnp.fft.ifft2(x).real.astype(jnp.float32)
+    r = jnp.fft.ifft2(x).real
+    return r.astype(jnp.float64 if r.dtype == jnp.float64 else jnp.float32)
 
 
 def _flatten(v):
@@ -67,7 +69,7 @@ def _flatten(v):
 
 def _run_cg(matvec_img: Callable, b_img: jnp.ndarray, rtol, maxiter: int,
             precond: Optional[Callable] = None, warm_start: bool = False,
-            min_iter: int = 0, stall_iters: int = 25):
+            min_iter: int = 0, stall_iters: int = 25, track_best: bool = True):
     """CG over (B, ...) image-shaped systems via flatten/unflatten.
 
     warm_start starts from x0 = b and min_iter=1 forces one update before the
@@ -87,7 +89,8 @@ def _run_cg(matvec_img: Callable, b_img: jnp.ndarray, rtol, maxiter: int,
     u, info = cg_mod.cg_batch(mv, _flatten(b_img), rtol=rtol, maxiter=maxiter,
                               precond=pc,
                               x0=_flatten(b_img) if warm_start else None,
-                              min_iter=min_iter, stall_iters=stall_iters)
+                              min_iter=min_iter, stall_iters=stall_iters,
+                              track_best=track_best)
     return u.reshape(shape), info
 
 
@@ -149,7 +152,8 @@ def deblur_mat_closed_form(operator, y, x0_mean, theta0_var):
 def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                   rtol=1e-4, maxiter=1000, cov_trace_mean=None,
                   return_info=False, warm_start=False, min_iter=0,
-                  precondition=True, stall_iters=25, cov_fourier_spec=None):
+                  precondition=True, stall_iters=25, cov_fourier_spec=None,
+                  track_best=True):
     """General-covariance case (reference
     _deblur_mat_generic_customcuda_bfgs_tailored:490 and the scipy twin :529).
     Per CG iteration: u -> sigma_s^2 u + A C A^T u with A^T via FBC.
@@ -186,7 +190,7 @@ def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     b = y - _ifft2_r(FB * _fft2(x0_mean))
     u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
                       warm_start=warm_start, min_iter=min_iter,
-                      stall_iters=stall_iters)
+                      stall_iters=stall_iters, track_best=track_best)
     mat = _ifft2_r(FBC * _fft2(u))
     return (mat, info) if return_info else mat
 
@@ -210,7 +214,8 @@ def sr_mat_closed_form(operator, y, x0_mean, theta0_var):
 def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
               rtol=1e-4, maxiter=1000, cov_trace_mean=None,
               return_info=False, warm_start=False, min_iter=0,
-              precondition=True, stall_iters=25, cov_fourier_spec=None):
+              precondition=True, stall_iters=25, cov_fourier_spec=None,
+              track_best=True):
     """(reference _super_resolution_mat_generic_customcuda_bfgs_tailored:641).
     Preconditioned with the polyphase-diagonal inverse for C = v_bar I."""
     sigma_s = jnp.clip(operator.sigma_s, min=0.01)
@@ -225,8 +230,19 @@ def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
 
     precond = None
     if precondition and cov_fourier_spec is not None:
-        low = cov_fourier_spec[..., : cov_fourier_spec.shape[-2] // sf,
-                               : cov_fourier_spec.shape[-1] // sf]
+        # The downsampled grid's DFT bin j represents FOLDED frequency
+        # min(j, n_s - j)/n_s cycles/sample = min(j, n_s - j) * sf on the
+        # full grid's folded index — an ascending corner slice would hand
+        # the small grid's upper-half (negative-frequency) bins a
+        # high-frequency variance estimate. Gather with the folded indices
+        # instead, mirroring the fold in _dct_spec_to_fourier.
+        def small_idx(n_full):
+            n_s = n_full // sf
+            j = jnp.arange(n_s)
+            return jnp.minimum(jnp.minimum(j, n_s - j) * sf, n_full - 1)
+
+        low = cov_fourier_spec[..., small_idx(cov_fourier_spec.shape[-2]), :]
+        low = low[..., :, small_idx(cov_fourier_spec.shape[-1])]
         invW = jnp.mean(splits(jnp.asarray(F2B), sf), axis=-1)
         denom = sigma_s**2 + jnp.maximum(low, 1e-8) * invW
         precond = lambda r: _ifft2_r(_fft2(r) / denom)
@@ -240,7 +256,7 @@ def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     b = y - downsample(_ifft2_r(FB * _fft2(x0_mean)), sf)
     u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
                       warm_start=warm_start, min_iter=min_iter,
-                      stall_iters=stall_iters)
+                      stall_iters=stall_iters, track_best=track_best)
     mat = _ifft2_r(FBC * _fft2(upsample(u, sf)))
     return (mat, info) if return_info else mat
 
@@ -259,7 +275,8 @@ def inpainting_mat_closed_form(operator, y, x0_mean, theta0_var):
 def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                       rtol=1e-4, maxiter=1000, cov_trace_mean=None,
                       return_info=False, warm_start=False, min_iter=0,
-                      precondition=True, stall_iters=25, cov_fourier_spec=None):
+                      precondition=True, stall_iters=25, cov_fourier_spec=None,
+                      track_best=True):
     """(reference _inpainting_mat_generic_customcuda_bfgs_tailored:385 / the
     diagonal-variance CG at :366-381). Jacobi-preconditioned with the exact
     diagonal for C = v_bar I."""
@@ -280,7 +297,7 @@ def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     b = mask * y - mask * x0_mean
     mat, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
                         warm_start=warm_start, min_iter=min_iter,
-                        stall_iters=stall_iters)
+                        stall_iters=stall_iters, track_best=track_best)
     return (mat, info) if return_info else mat
 
 
@@ -308,7 +325,8 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                   use_rtol_func: bool = False, maxiter: Optional[int] = None,
                   cov_trace_mean=None, return_info: bool = False,
                   precondition: bool = True, stall_iters: int = 25,
-                  cov_dct_diag=None):
+                  cov_dct_diag=None, rtol_floor: float = RTOL_F32_FLOOR,
+                  track_best: bool = True):
     """Solve for ``mat`` given an operator by name.
 
     method:
@@ -345,16 +363,18 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         mat = _CLOSED[name](operator, y, x0_mean, theta0_var)
         return (mat, _no_cg_info(x0_mean)) if return_info else mat
     if method in ("cg", "customcuda"):
-        rtol = rtol_schedule(sigma_t, max_rtol) if sigma_t is not None else 1e-4
+        rtol = (rtol_schedule(sigma_t, max_rtol, floor=rtol_floor)
+                if sigma_t is not None else 1e-4)
         return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
                          rtol=rtol, maxiter=maxiter or 5000,
                          cov_trace_mean=cov_trace_mean, return_info=return_info,
                          warm_start=True, min_iter=1, precondition=precondition,
-                         stall_iters=stall_iters, cov_fourier_spec=spec)
+                         stall_iters=stall_iters, cov_fourier_spec=spec,
+                         track_best=track_best)
     # scipy-equivalent path (and closed-form fallbacks with non-scalar var)
     rtol = rtol_schedule_2(sigma_t) if (sigma_t is not None and use_rtol_func) else 1e-4
     return _CG[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
                      rtol=rtol, maxiter=maxiter or 1000,
                      cov_trace_mean=cov_trace_mean, return_info=return_info,
                      precondition=precondition, stall_iters=stall_iters,
-                     cov_fourier_spec=spec)
+                     cov_fourier_spec=spec, track_best=track_best)

@@ -22,7 +22,8 @@ from jax import lax
 
 class CGInfo(NamedTuple):
     niter: jnp.ndarray          # () int32 — iterations actually run
-    residual_norm: jnp.ndarray  # (batch,) final ||Ax - b||
+    residual_norm: jnp.ndarray  # (batch,) best ||Ax - b|| over iterations
+    #                             (matches the returned best iterate)
     optimal: jnp.ndarray        # (batch,) bool — converged within maxiter
 
 
@@ -32,7 +33,8 @@ def _dot(a, b):
 
 def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
              precond: Optional[Callable] = None, rtol=1e-3, atol=0.0,
-             maxiter: int = 1000, stall_iters: int = 25, min_iter: int = 0):
+             maxiter: int = 1000, stall_iters: int = 25, min_iter: int = 0,
+             track_best: bool = True):
     """Solve A x = b per batch row with CG.
 
     matvec: (batch, n) -> (batch, n), must apply a symmetric PSD A per row.
@@ -57,6 +59,11 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     PSD-ness) CG residuals diverge, and the reference returns whatever the
     last iterate was; tracking the best costs one extra buffer and strictly
     dominates (identical to last-iterate whenever CG converges monotonically).
+
+    track_best=False returns the LAST iterate per row instead (each row's x
+    at the moment it froze) — the reference's exact semantics, needed for
+    bit-level A/B at loose rtol where residuals are non-monotone and the
+    best-vs-last choice picks different iterates from the same CG path.
     """
     dtype = b.dtype
     batch = b.shape[0]
@@ -111,6 +118,9 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
         active = jnp.logical_and(active, stall < stall_iters)
         # freeze rows whose residual went non-finite (breakdown guard)
         active = jnp.logical_and(active, jnp.isfinite(res))
+        # p^T A p breakdown: CG cannot progress on this row (the reference
+        # torch CG breaks out at the same absolute threshold, cg.py:257-259)
+        active = jnp.logical_and(active, pap > 1e-16)
         return x, r, p, rz_new, i + 1, active, best, stall, bx
 
     active0 = res0 > stop
@@ -118,8 +128,8 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     x, r, p, rz, niter, active, best, stall, bx = lax.while_loop(
         cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), active0,
                      res0, stall0, x0))
-    return bx, CGInfo(niter=niter, residual_norm=best,
-                      optimal=jnp.logical_not(active))
+    return (bx if track_best else x), CGInfo(
+        niter=niter, residual_norm=best, optimal=jnp.logical_not(active))
 
 
 def cg(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,

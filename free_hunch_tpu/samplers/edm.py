@@ -200,9 +200,10 @@ def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray
     of twice per step.
 
     ``collect_diagnostics`` appends a third return value: a dict with
-    ``cg_niter`` (num_steps, 2) int32 and ``cg_resnorm`` (num_steps, 2) f32 —
-    the guidance CG solve's iteration count and batch-mean final residual per
-    ODE stage (column 1 is -1 / 0 on Euler-only steps). Pair with
+    ``cg_niter`` (num_steps, 2) int32, ``cg_resnorm`` (num_steps, 2) f32 and
+    ``cg_optfrac`` (num_steps, 2) f32 — the guidance CG solve's iteration
+    count, batch-mean final residual and converged-row fraction per ODE stage
+    (column 1 is -1 / 0 / 1 on Euler-only steps). Pair with
     xs['sigma_hat'] / xs['sigma_prime'] for a per-sigma profile.
     """
     use_heun = np.asarray(xs["use_heun"], bool)
@@ -213,7 +214,8 @@ def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray
 
     def _cg_stats(gstate):
         return (getattr(gstate, "cg_niter", jnp.asarray(0, jnp.int32)),
-                getattr(gstate, "cg_resnorm", jnp.asarray(0.0, jnp.float32)))
+                getattr(gstate, "cg_resnorm", jnp.asarray(0.0, jnp.float32)),
+                getattr(gstate, "cg_optfrac", jnp.asarray(1.0, jnp.float32)))
 
     def make_body(heun: bool):
         def body(carry, step):
@@ -223,19 +225,20 @@ def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray
 
             denoised, gstate = mechanism(denoise, x_hat, y, step["sigma_hat"],
                                          gstate)
-            n1, r1 = _cg_stats(gstate)
+            n1, r1, o1 = _cg_stats(gstate)
             d_cur = (x_hat - denoised) / step["sigma_hat"]
             if heun:
                 x_prime = x_hat + alpha * step["h"] * d_cur
                 denoised2, gstate = mechanism(denoise, x_prime, y,
                                               step["sigma_prime"], gstate)
-                n2, r2 = _cg_stats(gstate)
+                n2, r2, o2 = _cg_stats(gstate)
                 d_prime = step["c1"] * x_prime - step["c2"] * denoised2
                 x_next = x_hat + step["h"] * ((1 - 1 / (2 * alpha)) * d_cur
                                               + 1 / (2 * alpha) * d_prime)
             else:
                 n2 = jnp.asarray(-1, jnp.int32)
                 r2 = jnp.asarray(0.0, jnp.float32)
+                o2 = jnp.asarray(1.0, jnp.float32)
                 x_next = x_hat + step["h"] * d_cur
             out = {}
             if return_trajectory:
@@ -243,6 +246,7 @@ def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray
             if collect_diagnostics:
                 out["cg_niter"] = jnp.stack([n1, n2])
                 out["cg_resnorm"] = jnp.stack([r1, r2])
+                out["cg_optfrac"] = jnp.stack([o1, o2])
             return (x_next, gstate), out
 
         return body
@@ -272,7 +276,7 @@ def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray
               for k in outs[0]} if outs and outs[0] else {}
     traj = merged["traj"] if return_trajectory else [x0_init]
     if collect_diagnostics:
-        diag = {k: merged[k] for k in ("cg_niter", "cg_resnorm")}
+        diag = {k: merged[k] for k in ("cg_niter", "cg_resnorm", "cg_optfrac")}
         return x_final, traj, diag
     return x_final, traj
 

@@ -11,53 +11,15 @@ update, tailored CG solve, vjp guidance — end to end against the paper's own
 implementation.
 """
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
 
-# ---------------------------------------------------------------------------
-# stubs the reference needs on this machine (installed before importing it)
-# ---------------------------------------------------------------------------
-if "torch_dct" not in sys.modules:
-    import scipy.fft as _sfft
+from tests._reference_oracle import install_reference_stubs
 
-    def _dct_mat(n):
-        return torch.from_numpy(
-            _sfft.dct(np.eye(n), norm="ortho", axis=0).astype(np.float64))
-
-    def _apply2d(x, m_fn):
-        mh = m_fn(x.shape[-2]).to(x.dtype)
-        mw = m_fn(x.shape[-1]).to(x.dtype)
-        return torch.einsum("km,...mw,lw->...kl", mh, x, mw)
-
-    stub = types.ModuleType("torch_dct")
-    stub.dct_2d = lambda x, norm="ortho": _apply2d(x, _dct_mat)
-    stub.idct_2d = lambda x, norm="ortho": _apply2d(x, lambda n: _dct_mat(n).T)
-    sys.modules["torch_dct"] = stub
-
-if "pywt" not in sys.modules:
-    sys.modules["pywt"] = types.ModuleType("pywt")  # imported, never used here
-
-if "torchvision" not in sys.modules:
-    tv = types.ModuleType("torchvision")
-    tv.torch = torch  # the reference does `from torchvision import torch`
-    sys.modules["torchvision"] = tv
-
-if "hdf5storage" not in sys.modules:
-    import scipy.io as _sio
-    h5 = types.ModuleType("hdf5storage")
-    h5.loadmat = _sio.loadmat
-    sys.modules["hdf5storage"] = h5
-
-# CPU-only torch: make .cuda() a no-op (the reference mirrors covariance
-# state to CUDA unconditionally, online_update_bfgs.py:40-51)
-torch.Tensor.cuda = lambda self, *a, **k: self
-
-sys.path.append("/root/reference")  # append: repo-root modules must win name collisions
+install_reference_stubs()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

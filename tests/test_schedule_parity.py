@@ -16,55 +16,15 @@ terms while the Heun corrector includes them (:141 vs :166).
 """
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
 
-# --- stubs the reference needs on this machine (before importing it) --------
-for name in ("pywt", "hdf5storage", "hydra", "lpips"):
-    if name not in sys.modules:
-        sys.modules[name] = types.ModuleType(name)
-if "skimage" not in sys.modules:
-    sk = types.ModuleType("skimage")
-    sk.metrics = types.ModuleType("skimage.metrics")
-    sys.modules["skimage"] = sk
-    sys.modules["skimage.metrics"] = sk.metrics
-if "omegaconf" not in sys.modules:
-    oc = types.ModuleType("omegaconf")
-    oc.DictConfig, oc.OmegaConf = dict, object
-    sys.modules["omegaconf"] = oc
-if "torchvision" not in sys.modules or not hasattr(
-        sys.modules["torchvision"], "utils"):
-    tv = types.ModuleType("torchvision")
-    tv.torch = torch
-    tv.utils = types.ModuleType("torchvision.utils")
-    tv.transforms = types.ModuleType("torchvision.transforms")
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.utils"] = tv.utils
-    sys.modules["torchvision.transforms"] = tv.transforms
-if "torch_dct" not in sys.modules:
-    import scipy.fft as _sfft
+from tests._reference_oracle import install_reference_stubs
 
-    def _dct_mat(n):
-        return torch.from_numpy(
-            _sfft.dct(np.eye(n), norm="ortho", axis=0).astype(np.float64))
-
-    def _apply2d(x, m_fn):
-        mh = m_fn(x.shape[-2]).to(x.dtype)
-        mw = m_fn(x.shape[-1]).to(x.dtype)
-        return torch.einsum("km,...mw,lw->...kl", mh, x, mw)
-
-    stub = types.ModuleType("torch_dct")
-    stub.dct_2d = lambda x, norm="ortho": _apply2d(x, _dct_mat)
-    stub.idct_2d = lambda x, norm="ortho": _apply2d(x, lambda n: _dct_mat(n).T)
-    sys.modules["torch_dct"] = stub
-
-torch.Tensor.cuda = lambda self, *a, **k: self
-
-sys.path.append("/root/reference")  # append: repo-root modules must win
+install_reference_stubs()
 
 import jax.numpy as jnp  # noqa: E402
 import jax.random  # noqa: E402
