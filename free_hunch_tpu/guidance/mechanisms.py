@@ -331,6 +331,14 @@ class FreeHunch(ConditioningMechanism):
     # Floor for the sigma-adaptive CG rtol schedule. The f32 default stops
     # solves at the f32-achievable residual; f64 A/B runs can lower it.
     rtol_floor: float = RTOL_F32_FLOOR
+    # (data_axis, model_axis) mesh-axis names for sharding the covariance
+    # state inside the guided step: diag/U shard their d dimension over
+    # ``model_axis`` (the >256px scaling path — the (d, K) factors outgrow
+    # one chip's HBM share), the batch dimension over ``data_axis``. GSPMD
+    # partitions the U^T v / U @ (M inner) matmuls and inserts the K-length
+    # psum over ICI (parallel/sharded_cov.py documents the decomposition).
+    # None = unconstrained (single-chip or pure-DP; XLA's default placement).
+    cov_partition: Optional[Tuple[Optional[str], Optional[str]]] = None
 
     @property
     def _adt(self):
@@ -379,6 +387,26 @@ class FreeHunch(ConditioningMechanism):
 
     # -- covariance ops batched over samples ---------------------------------
 
+    def _constrain_cov(self, cov: LowRank) -> LowRank:
+        """Pin the covariance state's sharding (no-op without cov_partition).
+
+        Applied to the scan-carry state at entry and to the updated state at
+        exit of each guidance call, so GSPMD keeps diag/U distributed over the
+        model axis through time/space updates and the CG matvecs instead of
+        gathering them onto one device. Requires an ambient mesh whose axis
+        names match ``cov_partition`` (enter ``with mesh:`` around the jit).
+        """
+        if self.cov_partition is None:
+            return cov
+        from jax.sharding import PartitionSpec as P
+        da, ma = self.cov_partition
+        c = jax.lax.with_sharding_constraint
+        return LowRank(
+            diag=c(cov.diag, P(da, ma)),
+            U=c(cov.U, P(da, ma, None)),
+            M=c(cov.M, P(da, None, None)),
+            k=c(cov.k, P(da)) if cov.k.ndim else cov.k)
+
     def _cov_matvec_basis(self, cov, v_basis):
         return jax.vmap(cov_mod.cov_matvec)(cov, v_basis)
 
@@ -393,6 +421,7 @@ class FreeHunch(ConditioningMechanism):
 
     def x0_mean_update(self, denoise, x_t, y, sigma, state: FreeHunchState):
         img_shape = x_t.shape[1:]
+        state = state._replace(cov=self._constrain_cov(state.cov))
         # the denoiser and its guidance vjp always run in f32; only the
         # covariance algebra + CG solve use algebra_dtype (the reference
         # likewise runs the torch net in f32 and the state in complex128,
@@ -532,7 +561,8 @@ class FreeHunch(ConditioningMechanism):
         x0_new = x0 + update
 
         new_state = FreeHunchState(
-            cov=cov, prev_sigma=sigma, prev_x=x_t, prev_mean=x0_a,
+            cov=self._constrain_cov(cov), prev_sigma=sigma, prev_x=x_t,
+            prev_mean=x0_a,
             step=state.step + 1,
             cg_niter=jnp.asarray(cg_info.niter, jnp.int32),
             cg_resnorm=jnp.mean(cg_info.residual_norm).astype(jnp.float32),

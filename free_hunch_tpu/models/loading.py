@@ -77,6 +77,14 @@ def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
         except OSError:
             pass
     elif init_random_if_missing:
+        # cache the random init: re-initialising 552M params costs minutes
+        # per process (init compile + device->host round trips), and
+        # benchmarks/profilers reload the same model repeatedly. Keyed by
+        # seed so different-seed requests don't collide.
+        rcache = (f"{state_dict_path}.random{rng_seed}.npz"
+                  if state_dict_path else None)
+        if rcache and os.path.exists(rcache):
+            return model, load_params_npz(rcache), model_args
         res = model_args.get("image_size", 256)
         init_kwargs = {}
         if model_args.get("class_cond"):
@@ -88,6 +96,11 @@ def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
         # zero_module layers are mirrored for conversion parity) — randomise
         # them so random-init smoke runs exercise the whole network
         params = randomize_zero_leaves(params, seed=rng_seed)
+        if rcache:
+            try:
+                save_params_npz(rcache, params)
+            except OSError:
+                pass
     else:
         raise FileNotFoundError(
             f"checkpoint {state_dict_path!r} not found; download it per the "

@@ -72,7 +72,9 @@ def parse_trace(tdir):
         a["count"] += 1
         for k in ("long_name", "tf_op", "source", "hlo_category", "tf_name_scope"):
             if k in args and k not in a["meta"]:
-                a["meta"][k] = str(args[k])[:300]
+                # keep enough of the HLO text that every operand shape
+                # survives (conv_roofline.py parses them)
+                a["meta"][k] = str(args[k])[:700]
     return agg, total_us, sorted(tracks)
 
 

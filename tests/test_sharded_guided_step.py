@@ -1,0 +1,130 @@
+"""Full guided sampling step on a 2-D (data x model) mesh.
+
+VERDICT r2 item 4: the model-axis sharding must be exercised by the real
+guided step — covariance state (diag/U over the d dimension) sharded inside
+``sample_scan`` via the mechanism's ``cov_partition`` GSPMD constraints —
+not just by an isolated matvec. Runs on the 8 virtual CPU devices from
+conftest and checks the sharded run against the unsharded single-mesh
+reference output.
+
+Parity anchor: the reference's only parallelism is DP evaluation
+(generate_conditional.py:38-169 via torch DistributedSampler); the model
+axis is our TPU-native extension for >256px states (SURVEY.md §2.2, §5).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from free_hunch_tpu.guidance import choose_conditioning_mechanism
+from free_hunch_tpu.models.precond import IDDPMLinearPrecond
+from free_hunch_tpu.models.unet import UNetConfig, UNetModel
+from free_hunch_tpu.operators import get_operator
+from free_hunch_tpu.parallel.mesh import make_mesh
+from free_hunch_tpu.samplers.edm import prepare_schedule, sample_scan
+
+
+RES = 32
+BATCH = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UNetConfig(image_size=RES, in_channels=3, model_channels=32,
+                     out_channels=6, num_res_blocks=1,
+                     attention_resolutions=(4,), channel_mult=(1, 2),
+                     num_heads=2, num_head_channels=16,
+                     dtype=jnp.float32, remat=False)
+    model = UNetModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, RES, RES)),
+                        jnp.zeros((1,)))
+    precond = IDDPMLinearPrecond(model, img_resolution=RES, img_channels=3)
+    op = get_operator(name="inpainting", sigma_s=0.05,
+                      mask_opt={"mask_type": "random", "image_size": RES,
+                                "mask_prob_range": (0.2, 0.4)},
+                      mask_key=jax.random.PRNGKey(1),
+                      in_shape=(1, 3, RES, RES))
+    xs, sigma0_scaled = prepare_schedule(
+        round_sigma=precond.round_sigma, net_sigma_min=precond.sigma_min,
+        net_sigma_max=precond.sigma_max, num_steps=3, solver="heun",
+        discretization="edm", schedule="linear", scaling="none")
+    noise = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 3, RES, RES))
+    cond = jax.random.uniform(jax.random.PRNGKey(3), (BATCH, 3, RES, RES),
+                              minval=-1, maxval=1)
+    y = op.forward(cond, noiseless=True)
+    return params, precond, op, xs, sigma0_scaled, noise, y
+
+
+def _mech(op, cov_partition=None):
+    return choose_conditioning_mechanism("online_covariance")(
+        cond_scaling=1.0, forward_operator=op, clip_x0_mean=True,
+        init_denoiser_variance=1.0, init_noise_variance=100.0,
+        data_dim=3 * RES * RES, cov_capacity=8, cg_maxiter=8,
+        space_step_update_lower_threshold=0.01,
+        space_step_update_threshold=100.0,
+        cov_partition=cov_partition)
+
+
+def _run(setup, mesh, mech, in_spec):
+    params, precond, op, xs, sigma0_scaled, noise, y = setup
+    denoise = lambda x, s: precond.apply(params, x, s)
+
+    def step(noise_, y_, key):
+        x, _ = sample_scan(denoise, mech, noise_, y_, xs, key,
+                           sigma0_scaled=sigma0_scaled)
+        return x
+
+    bsh = NamedSharding(mesh, in_spec)
+    noise_s = jax.device_put(noise, bsh)
+    y_s = jax.device_put(y, bsh)
+    with mesh:
+        fn = jax.jit(step, in_shardings=(bsh, bsh, NamedSharding(mesh, P())),
+                     out_shardings=bsh)
+        out = fn(noise_s, y_s, jax.random.PRNGKey(4))
+        out.block_until_ready()
+    return np.asarray(out)
+
+
+def test_guided_step_data_model_mesh(setup):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    _, _, op, *_ = setup
+
+    mesh1 = make_mesh("data:4")
+    ref = _run(setup, mesh1, _mech(op), P("data"))
+
+    mesh2 = make_mesh("data:4,model:2")
+    got = _run(setup, mesh2, _mech(op, cov_partition=("data", "model")),
+               P("data"))
+
+    assert np.isfinite(got).all()
+    # same math, different reduction partitioning -> f32-reduction tolerance
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_cov_state_is_model_sharded(setup):
+    """The covariance factors inside the scan carry really are distributed:
+    jit the mechanism's init + one guidance call with cov_partition and check
+    the output state's diag sharding spans the model axis."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    params, precond, op, xs, sigma0_scaled, noise, y = setup
+    mesh = make_mesh("data:4,model:2")
+    mech = _mech(op, cov_partition=("data", "model"))
+    denoise = lambda x, s: precond.apply(params, x, s)
+
+    def one_call(noise_, y_):
+        state = mech.init_state(BATCH, noise_.shape[1:])
+        sigma = jnp.asarray(10.0, jnp.float32)
+        _, new_state = mech.x0_mean_update(denoise, noise_, y_, sigma, state)
+        return new_state.cov.diag
+
+    bsh = NamedSharding(mesh, P("data"))
+    with mesh:
+        diag = jax.jit(one_call)(jax.device_put(noise, bsh),
+                                 jax.device_put(y, bsh))
+        diag.block_until_ready()
+    spec = diag.sharding.spec
+    assert "model" in jax.tree.leaves(tuple(spec)), (
+        f"covariance diag not sharded over the model axis: {spec}")
