@@ -189,6 +189,15 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
         return float(10 * np.log10(4.0 / max(mse, 1e-12)))
 
     psnr_ref, psnr_ours = _psnr(x_ref, cond), _psnr(x, cond)
+
+    def _ssim(a, b):
+        from free_hunch_tpu.metrics.quality import ssim
+        return float(np.mean([ssim(np.clip(np.asarray(a)[i], -1, 1),
+                                   np.clip(np.asarray(b)[i], -1, 1),
+                                   data_range=2.0, channel_axis=0)
+                              for i in range(np.asarray(a).shape[0])]))
+
+    ssim_ref, ssim_ours = _ssim(x_ref, cond), _ssim(x, cond)
     out = dict(
         protocol=dict(res=res, model_channels=channels,
                       num_res_blocks=num_res_blocks, steps=steps,
@@ -212,6 +221,8 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
         final_image_max_abs_err_normalised=final_err,
         psnr_vs_cond=dict(reference=psnr_ref, ours=psnr_ours,
                           abs_diff=abs(psnr_ref - psnr_ours)),
+        ssim_vs_cond=dict(reference=ssim_ref, ours=ssim_ours,
+                          abs_diff=abs(ssim_ref - ssim_ours)),
         wall_clock_s=dict(reference_torch_cpu=round(t_ref, 1),
                           ours_jax_cpu=round(t_ours, 1)),
         agree=bool(y_err < 1e-3 and
