@@ -129,6 +129,34 @@ def transport_score(cov: LowRank, cov_next: LowRank, sigma, sigma_next,
     return mean_next, score_next
 
 
+def transport_score_two_inverse(cov: LowRank, cov_next: LowRank, sigma,
+                                sigma_next, x: jnp.ndarray, score: jnp.ndarray
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-identical two-inverse transport (A/B fidelity mode).
+
+    Computes score' = H(s') H(s)^-1 score literally the reference's way
+    (online_update_bfgs.py:170-181): H^-1 via Woodbury on the low-rank form,
+    H^-1(s') = H^-1(s) - (s'^2 - s^2) I, then one more Woodbury inverse.
+    Algebraically equal to :func:`transport_score`'s telescoped SPD form, but
+    numerically it evaluates the product through two near-singular operators
+    — H(s) crosses zero along any eigendirection whose variance equals s^2 —
+    and loses ~5 digits with the real dct prior
+    (docs/diag_space_divergence.json: 2.7e-5 vs the scalar-exact oracle,
+    where the telescoped form sits at 1.3e-6 = the f32-DCT floor).
+
+    Kept ONLY so the reference A/B can match the reference's rounding
+    behaviour (seed differences then collapse to f64-vs-c128 rounding instead
+    of formula conditioning); production uses the telescoped form.
+    """
+    del cov_next
+    ih = lowrank.inverse(hessian(cov, sigma))
+    ih_next = lowrank.shift_diag(ih, -(sigma_next**2 - sigma**2))
+    h_next = lowrank.inverse(ih_next)
+    score_next = lowrank.matvec(h_next, lowrank.matvec(ih, score))
+    mean_next = x + sigma_next**2 * score_next
+    return mean_next, score_next
+
+
 def space_update(cov: LowRank, sigma, x: jnp.ndarray, x_next: jnp.ndarray,
                  mean_at_x: jnp.ndarray, mean_at_x_next: jnp.ndarray,
                  params: CovParams = CovParams()) -> LowRank:

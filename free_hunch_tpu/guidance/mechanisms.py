@@ -331,6 +331,12 @@ class FreeHunch(ConditioningMechanism):
     # Floor for the sigma-adaptive CG rtol schedule. The f32 default stops
     # solves at the f32-achievable residual; f64 A/B runs can lower it.
     rtol_floor: float = RTOL_F32_FLOOR
+    # Analytic-transport formula: 'telescoped' (production — the exact SPD
+    # (I + a Sigma)^-1 form, oracle-verified 20x closer to the true value
+    # with the real dct prior) or 'two_inverse' (the reference's literal
+    # H(s') H(s)^-1 evaluation, kept for bit-level reference A/B where the
+    # comparison must share the reference's rounding behaviour).
+    transport_formula: str = "telescoped"
     # (data_axis, model_axis) mesh-axis names for sharding the covariance
     # state inside the guided step: diag/U shard their d dimension over
     # ``model_axis`` (the >256px scaling path — the (d, K) factors outgrow
@@ -445,11 +451,15 @@ class FreeHunch(ConditioningMechanism):
 
         if self.do_space_updates:
             # (1) time update + analytic transport of the previous mean
+            transport_fn = (cov_mod.transport_score_two_inverse
+                            if self.transport_formula == "two_inverse"
+                            else cov_mod.transport_score)
+
             def do_time(_):
                 score_prev = (prev_mean_b - prev_x_b) / state.prev_sigma**2
                 cov2 = jax.vmap(cov_mod.time_update, in_axes=(0, None, None))(
                     state.cov, state.prev_sigma, sigma)
-                mean_t, _ = jax.vmap(cov_mod.transport_score,
+                mean_t, _ = jax.vmap(transport_fn,
                                      in_axes=(0, 0, None, None, 0, 0))(
                     state.cov, cov2, state.prev_sigma, sigma, prev_x_b, score_prev)
                 if self.transport_mean_bound is not None:

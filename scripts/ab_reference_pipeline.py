@@ -235,7 +235,7 @@ def run_ab_teacher_forced(res=64, channels=32, num_res_blocks=1, steps=30,
                           seed=0, basis=None, rtol_floor=1e-6, verbose=True,
                           max_rtol=1.0, operator="inpainting",
                           precision="f32", share_net=False, data_dir=None,
-                          sigma_s=0.05):
+                          sigma_s=0.05, transport="telescoped"):
     """Per-call parity over the FULL schedule: both mechanisms receive the
     SAME (x_hat, sigma) inputs at every ODE stage (our trajectory drives
     both), so each of the 2*steps-1 guidance evaluations is compared without
@@ -265,7 +265,7 @@ def run_ab_teacher_forced(res=64, channels=32, num_res_blocks=1, steps=30,
         return _run_teacher_inner(res, channels, num_res_blocks, steps, seed,
                                   basis, rtol_floor, verbose, torch, max_rtol,
                                   operator, precision, share_net, data_dir,
-                                  sigma_s)
+                                  sigma_s, transport)
     finally:
         os.chdir(cwd)
 
@@ -273,7 +273,8 @@ def run_ab_teacher_forced(res=64, channels=32, num_res_blocks=1, steps=30,
 def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
                        rtol_floor, verbose, torch, max_rtol=1.0,
                        operator="inpainting", precision="f32",
-                       share_net=False, data_dir=None, sigma_s=0.05):
+                       share_net=False, data_dir=None, sigma_s=0.05,
+                       transport="telescoped"):
     import conditioning_utils.online_update_bfgs as oub
     if not hasattr(oub, "CovarianceHessianBFGSDCTPCA"):
         oub.CovarianceHessianBFGSDCTPCA = oub.CovarianceHessianBFGSDCT
@@ -433,6 +434,12 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
                      cg_maxiter=fixed_iters_env or None,
                      cg_track_best=False,
                      algebra_dtype="float64" if precision == "f64" else None,
+                     # 'two_inverse' = the reference's literal H(s')H(s)^-1
+                     # transport evaluation (loses ~5 digits with the real dct
+                     # prior — docs/diag_space_divergence.json); matching it
+                     # removes the formula-conditioning term from the A/B so
+                     # the pure-algebra control can gate strictly
+                     transport_formula=transport,
                      **mine_common)
 
     if share_net:
@@ -624,6 +631,7 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
                       rtol_floor=rtol_floor, seed=seed,
                       calls_strict=calls_strict,
                       precision=precision, share_net=share_net,
+                      transport=transport,
                       cg_budgets="stall detection off, maxiter 5000 both sides",
                       data_dim=3 * res * res),
         per_call_rel_err=dict(max=float(errs.max()),
@@ -662,6 +670,13 @@ def main():
     ap.add_argument("--share_net", action="store_true",
                     help="reference consumes OUR jax denoiser (forward+vjp "
                          "bridge): isolates pure covariance/CG algebra")
+    ap.add_argument("--transport", choices=["telescoped", "two_inverse"],
+                    default="telescoped",
+                    help="analytic-transport formula on OUR side: two_inverse "
+                         "matches the reference's literal H(s')H(s)^-1 "
+                         "evaluation (its conditioning costs ~5 digits with "
+                         "the real dct prior), removing the formula term "
+                         "from the A/B")
     ap.add_argument("--rtol_floor", type=float, default=1e-6)
     ap.add_argument("--out", default=None,
                     help="output json path (default docs/ab_reference_<res>.json)")
@@ -674,7 +689,7 @@ def main():
             num_res_blocks=args.num_res_blocks, steps=args.steps,
             seed=args.seed, basis=args.basis, operator=args.operator,
             precision=args.precision, share_net=args.share_net,
-            rtol_floor=args.rtol_floor)
+            rtol_floor=args.rtol_floor, transport=args.transport)
     if args.mode in ("free", "both"):
         out["free_running"] = run_ab(
             res=args.res, channels=args.channels,

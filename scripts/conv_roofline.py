@@ -16,7 +16,7 @@ import math
 import re
 import sys
 
-V5E_BF16_PEAK = 394e12      # FLOP/s
+V5E_BF16_PEAK = 197e12      # FLOP/s (bf16; 394 is int8)
 V5E_HBM_BW = 819e9          # B/s
 
 SHAPE_RE = re.compile(r"(f32|bf16|f16|s32|u32|pred)\[([0-9,]*)\]")

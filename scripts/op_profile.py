@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-V5E_BF16_PEAK_TFLOPS = 394.0
+V5E_BF16_PEAK_TFLOPS = 197.0  # v5e bf16 peak; 394 is the INT8 number (we previously used it by mistake)
 
 
 def log(msg):

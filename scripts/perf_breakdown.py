@@ -32,7 +32,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-V5E_BF16_PEAK_TFLOPS = 394.0
+V5E_BF16_PEAK_TFLOPS = 197.0  # v5e bf16 peak; 394 is the INT8 number (we previously used it by mistake)
 
 
 def main():

@@ -28,7 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-V5E_BF16_PEAK_TFLOPS = 394.0
+V5E_BF16_PEAK_TFLOPS = 197.0  # v5e bf16 peak; 394 is the INT8 number (we previously used it by mistake)
 
 
 def log(msg):
@@ -67,18 +67,19 @@ def main():
     out_path = os.environ.get("PE_OUT", "docs/bench/perf_experiments.jsonl")
 
     log(f"devices: {jax.devices()}  variant={variant} batch={batch}")
-    t0 = time.time()
-    model, params, model_args = load_model(
-        "models/256x256_diffusion_uncond.pt",
-        "models/256x256_diffusion_uncond_setup.txt",
-        dtype=jnp.bfloat16, init_random_if_missing=True)
-    precond = wrap_precond(model, model_args, "linear")
-    log(f"model loaded in {time.time() - t0:.1f}s")
+    if mode != "calib":  # calib needs no model
+        t0 = time.time()
+        model, params, model_args = load_model(
+            "models/256x256_diffusion_uncond.pt",
+            "models/256x256_diffusion_uncond_setup.txt",
+            dtype=jnp.bfloat16, init_random_if_missing=True)
+        precond = wrap_precond(model, model_args, "linear")
+        log(f"model loaded in {time.time() - t0:.1f}s")
 
-    if variant == "bf16w":
-        params = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32 else a, params)
+        if variant == "bf16w":
+            params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, params)
 
     def fwd_once(p, x, sigma):
         mean, _ = precond.apply(p, x, sigma)
@@ -96,7 +97,10 @@ def main():
                 out = once(p, xx, sigma)
                 # feed the output back so iterations can't be elided
                 return xx + 1e-6 * out.astype(xx.dtype)
-            return jax.lax.fori_loop(0, loop_k, body, x)
+            out = jax.lax.fori_loop(0, loop_k, body, x)
+            # scalar checksum: float() on it forces completion on the remote
+            # axon backend, where block_until_ready returns early
+            return jnp.sum(out.astype(jnp.float32))
         return run
 
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, 3, res, res),
@@ -121,14 +125,15 @@ def main():
         def mm_loop(a_, b_):
             def body(_, acc):
                 return jnp.tanh(acc @ b_) * 1e-3 + a_
-            return jax.lax.fori_loop(0, loop_k, body, a_)
+            out = jax.lax.fori_loop(0, loop_k, body, a_)
+            return jnp.sum(out.astype(jnp.float32))
 
         fn = jax.jit(mm_loop).lower(a, b).compile()
-        jax.block_until_ready(fn(a, b))
+        float(fn(a, b))
         times = []
         for _ in range(3):
             t0 = time.time()
-            jax.block_until_ready(fn(a, b))
+            float(fn(a, b))
             times.append(time.time() - t0)
         mm_flops = 2.0 * m * k * n
         mm_tfs = mm_flops / (min(times) / loop_k) / 1e12
@@ -150,14 +155,15 @@ def main():
                     xx, w_, (1, 1), [(1, 1), (1, 1)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 return xx + 1e-6 * out.astype(xx.dtype)
-            return jax.lax.fori_loop(0, loop_k, body, x_)
+            out = jax.lax.fori_loop(0, loop_k, body, x_)
+            return jnp.sum(out.astype(jnp.float32))
 
         fnc = jax.jit(conv_loop).lower(cx, cw).compile()
-        jax.block_until_ready(fnc(cx, cw))
+        float(fnc(cx, cw))
         times = []
         for _ in range(3):
             t0 = time.time()
-            jax.block_until_ready(fnc(cx, cw))
+            float(fnc(cx, cw))
             times.append(time.time() - t0)
         cflops = 2.0 * 8 * 128 * 128 * 512 * 512 * 9
         ctfs = cflops / (min(times) / loop_k) / 1e12
@@ -188,12 +194,12 @@ def main():
         fn = jax.jit(looped(once)).lower(params, x, sigma).compile()
         log(f"[{m}] loop compile {time.time()-t0:.1f}s")
         t0 = time.time()
-        jax.block_until_ready(fn(params, x, sigma))
+        float(fn(params, x, sigma))
         warm = time.time() - t0
         times = []
         for _ in range(3):
             t0 = time.time()
-            jax.block_until_ready(fn(params, x, sigma))
+            float(fn(params, x, sigma))
             times.append(time.time() - t0)
         per_call_ms = min(times) / loop_k * 1e3
         tflops_s = flops1 / (per_call_ms * 1e-3) / 1e12

@@ -237,3 +237,117 @@ def test_transport_stable_at_hessian_singularity():
     op = np.linalg.inv(np.eye(d) + a * Sig) * (sigma**2 / sigma_next**2)
     np.testing.assert_allclose(np.asarray(s_lr), op @ score, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_two_inverse_transport_matches_telescoped_away_from_singularity():
+    """``transport_score_two_inverse`` (the reference's literal H(s')H(s)^-1
+    evaluation, online_update_bfgs.py:170-181, kept for bit-level A/B) must
+    agree with the production telescoped form wherever the two-inverse
+    product is well-conditioned, including with a low-rank part."""
+    sigma, sigma_next = 4.0, 3.0
+    d = 8
+    rng = np.random.default_rng(7)
+    # eigenvalues well away from the sigma^2 = 16 crossing
+    diag = np.array([1e-3, 1e-2, 0.5, 1.0, 2.0, 64.0, 1e3, 1e4], np.float64)
+    x = jnp.asarray(rng.normal(size=d))
+    score = jnp.asarray(rng.normal(size=d))
+
+    cov = C.init_state(jnp.asarray(diag), d, capacity=4)
+    u = jnp.asarray(rng.normal(size=d) * 0.1)
+    cov = lowrank.append_pair(cov, u, 0.5, jnp.asarray(rng.normal(size=d) * 0.1),
+                              0.25)
+    cov2 = C.time_update(cov, sigma, sigma_next)
+
+    m_tel, s_tel = C.transport_score(cov, cov2, sigma, sigma_next, x, score)
+    m_two, s_two = C.transport_score_two_inverse(cov, cov2, sigma, sigma_next,
+                                                 x, score)
+    np.testing.assert_allclose(np.asarray(s_two), np.asarray(s_tel),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(m_two), np.asarray(m_tel),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_two_inverse_transport_loses_digits_at_crossing():
+    """With prior eigenvalues near the H(s) singularity p = sigma^2 AND a
+    low-rank part touching those rows (the situation every space update
+    creates with the real dct prior), the two-inverse product loses digits
+    through the near-singular Woodbury inner solves while the telescoped
+    form stays exact — the measured root cause of the 256px real-prior A/B
+    state divergence (docs/diag_space_divergence.json)."""
+    sigma, sigma_next = 4.0, 3.0
+    d = 6
+    rng = np.random.default_rng(3)
+    diag = np.array([16.0 * (1 + 1e-7), 16.0 * (1 - 3e-7), 1e-2, 1.0,
+                     1e2, 1e4], np.float64)
+    u = np.zeros(d)
+    u[0], u[1], u[2] = 1.0, 0.5, 0.1
+    v = np.zeros(d)
+    v[1], v[0], v[3] = 1.0, -0.3, 0.2
+    cov = C.init_state(jnp.asarray(diag), d, capacity=4)
+    cov = lowrank.append_pair(cov, jnp.asarray(u), 0.37, jnp.asarray(v), 0.21)
+    x = jnp.asarray(np.linspace(-1, 1, d))
+    score = jnp.asarray(rng.normal(size=d))
+
+    # dense f64 oracle via the telescoped closed form
+    a = 1.0 / sigma_next**2 - 1.0 / sigma**2
+    Sig = np.diag(diag) + 0.37 * np.outer(u, u) + 0.21 * np.outer(v, v)
+    want = (sigma**2 / sigma_next**2) * np.linalg.solve(
+        np.eye(d) + a * Sig, np.asarray(score))
+
+    cov2 = C.time_update(cov, sigma, sigma_next)
+    _, s_tel = C.transport_score(cov, cov2, sigma, sigma_next, x, score)
+    _, s_two = C.transport_score_two_inverse(cov, cov2, sigma, sigma_next,
+                                             x, score)
+    scale = np.abs(want).max()
+    err_tel = np.abs(np.asarray(s_tel) - want).max() / scale
+    err_two = np.abs(np.asarray(s_two) - want).max() / scale
+    assert err_tel < 1e-13
+    assert err_two > 1e3 * max(err_tel, 1e-16)
+
+
+def test_mechanism_transport_formula_knob():
+    """FreeHunch(transport_formula=...) selects the transport implementation
+    inside x0_mean_update (guards against the knob silently not being wired)."""
+    from unittest import mock
+
+    from free_hunch_tpu.guidance.mechanisms import FreeHunch
+    from free_hunch_tpu.operators import get_operator
+
+    res = 8
+    mask = np.ones((1, 3, res, res), np.float32)
+    op = get_operator(name="inpainting", sigma_s=0.05, mask=mask,
+                      in_shape=(1, 3, res, res))
+
+    def denoise(x, s):
+        return 0.5 * x, jnp.zeros_like(x)
+
+    calls = {"telescoped": 0, "two_inverse": 0}
+    real_tel, real_two = C.transport_score, C.transport_score_two_inverse
+
+    def spy_tel(*a, **k):
+        calls["telescoped"] += 1
+        return real_tel(*a, **k)
+
+    def spy_two(*a, **k):
+        calls["two_inverse"] += 1
+        return real_two(*a, **k)
+
+    y = jnp.zeros((1, 3, res, res))
+    for formula in ("telescoped", "two_inverse"):
+        mech = FreeHunch(forward_operator=op, cond_scaling=1.0,
+                         clip_x0_mean=False, image_base_covariance="identity",
+                         init_denoiser_variance=1.0, init_noise_variance=4.0,
+                         data_dim=3 * res * res, cov_capacity=4,
+                         solver_type="customcuda", max_rtol=1.0,
+                         transport_formula=formula)
+        state = mech.init_state(1, (3, res, res))
+        with mock.patch.object(C, "transport_score", spy_tel), \
+                mock.patch.object(C, "transport_score_two_inverse", spy_two):
+            x = jnp.ones((1, 3, res, res))
+            # two calls: step 0 (no transport), then a sigma change (transport)
+            _, state = mech.x0_mean_update(denoise, x, y, 2.0, state)
+            _, state = mech.x0_mean_update(denoise, x * 1.01, y, 1.5, state)
+        assert calls[formula] >= 1, formula
+        other = "two_inverse" if formula == "telescoped" else "telescoped"
+        assert calls[other] == 0, (formula, calls)
+        calls = {"telescoped": 0, "two_inverse": 0}
