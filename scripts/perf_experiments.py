@@ -35,15 +35,38 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def hbm_stats():
+def hbm_stats(compiled=None):
+    """Best-available HBM accounting.
+
+    ``device.memory_stats()`` returns None under the axon tunnel (probed
+    2026-08-17), so runtime bytes-in-use is unobservable here; fall back to
+    XLA's compile-time memory_analysis of the measured executable, which is
+    the allocator's own plan (argument/output/temp/generated-code bytes).
+    """
     import jax
+    out = {}
     try:
         s = jax.devices()[0].memory_stats() or {}
-        return {k: int(v) for k, v in s.items()
-                if k in ("bytes_in_use", "peak_bytes_in_use",
-                         "bytes_limit", "largest_alloc_size")}
+        out.update({k: int(v) for k, v in s.items()
+                    if k in ("bytes_in_use", "peak_bytes_in_use",
+                             "bytes_limit", "largest_alloc_size")})
     except Exception as e:
-        return {"error": str(e)[:200]}
+        out["runtime_error"] = str(e)[:200]
+    if compiled is not None:
+        try:
+            ma = compiled.memory_analysis()
+            if isinstance(ma, list):
+                ma = ma[0]
+            if ma is not None:
+                for k in ("argument_size_in_bytes", "output_size_in_bytes",
+                          "temp_size_in_bytes", "alias_size_in_bytes",
+                          "generated_code_size_in_bytes"):
+                    v = getattr(ma, k, None)
+                    if v is not None:
+                        out["xla_" + k] = int(v)
+        except Exception as e:
+            out["xla_error"] = str(e)[:200]
+    return out
 
 
 def main():
@@ -123,8 +146,14 @@ def main():
                         jnp.bfloat16)
 
         def mm_loop(a_, b_):
+            # pure GEMM chain: the scale keeps ~unit variance (1/sqrt(k)) and
+            # fuses into the GEMM epilogue — the first cut used a tanh on the
+            # 67M-element product, which cost ~half the loop time and made
+            # the "ceiling" read 27% instead of the chip's real number
+            scale = jnp.bfloat16(0.011)
+
             def body(_, acc):
-                return jnp.tanh(acc @ b_) * 1e-3 + a_
+                return (acc @ b_) * scale
             out = jax.lax.fori_loop(0, loop_k, body, a_)
             return jnp.sum(out.astype(jnp.float32))
 
@@ -150,11 +179,14 @@ def main():
             size=(8, 128, 128, 512)), jnp.bfloat16)
 
         def conv_loop(x_, w_):
+            # pure conv chain (scale keeps ~unit variance: 1/(sqrt(9*512)*0.02))
+            scale = jnp.bfloat16(0.736)
+
             def body(_, xx):
                 out = jax.lax.conv_general_dilated(
                     xx, w_, (1, 1), [(1, 1), (1, 1)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                return xx + 1e-6 * out.astype(xx.dtype)
+                return out.astype(xx.dtype) * scale
             out = jax.lax.fori_loop(0, loop_k, body, x_)
             return jnp.sum(out.astype(jnp.float32))
 
@@ -209,7 +241,7 @@ def main():
             tflops_per_s=round(tflops_s, 1),
             mfu_vs_v5e_bf16_peak=round(tflops_s / V5E_BF16_PEAK_TFLOPS, 4),
             warm_first_s=round(warm, 2),
-            hbm=hbm_stats())
+            hbm=hbm_stats(fn))
         log(f"[{m}] {per_call_ms:.2f} ms/call  {tflops_s:.1f} TFLOP/s  "
             f"MFU {tflops_s/V5E_BF16_PEAK_TFLOPS:.1%}")
 

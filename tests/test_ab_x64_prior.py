@@ -4,8 +4,8 @@ VERDICT r2 item 5: ``dct_diagonal_noinfo`` (flat prior) never exercises the
 ill-conditioned algebra that the shipped dct_variance prior does. This test
 drives the teacher-forced A/B against the torch reference with a synthetic
 8-decade DCT prior under float64 (jax_enable_x64) with matched CG budgets
-(stall off, last-iterate CG, same rtol clamp) and shared denoiser outputs, и
-asserts the provable invariants:
+(stall off, last-iterate CG, same rtol clamp) and shared denoiser outputs,
+and asserts the provable invariants:
 
 * covariance-state parity at the probe floor over the whole schedule,
 * exact agreement of converged solves (the final call),
