@@ -33,47 +33,103 @@ class StandardRGBEncoder(Encoder):
         return jnp.clip(jnp.round((z + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
 
 
+#: drop a converted SD-VAE params file here (npz of the flattened pytree, via
+#: scripts/convert_vae_weights.py) to enable StabilityVAEEncoder with the
+#: published sd-vae-ft-mse weights.
+import os
+
+VAE_WEIGHTS = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
+                           "models", "sd_vae_ft_mse.npz")
+
+
 class StabilityVAEEncoder(Encoder):
-    """Stable-Diffusion VAE latent encoder (reference :79-151). Requires the
-    `diffusers` VAE weights, which are not bundled; constructing without them
-    raises with a clear message (the paper pipeline never uses this encoder)."""
+    """Stable-Diffusion VAE latent encoder on the native flax AutoencoderKL
+    (``free_hunch_tpu.models.vae``), semantics matching the reference
+    ``training/encoders.py:79-151`` exactly: the VAE consumes pixels/255,
+    ``encode_pixels`` returns cat(mean, std) of the latent posterior,
+    ``encode_latents`` samples and affine-standardises with
+    (raw_mean, raw_std) -> (final_mean, final_std), and ``decode`` inverts
+    the affine map then clamps the VAE output to [0,1]*255 uint8.
+
+    The published weights are not obtainable in this environment (zero
+    egress); the architecture is oracle-tested against a from-scratch torch
+    replica (tests/test_vae.py) and activates automatically when a converted
+    weights file lands at ``VAE_WEIGHTS``.
+    """
 
     def __init__(self, vae_name: str = "stabilityai/sd-vae-ft-mse",
                  raw_mean=(5.81, 3.25, 0.12, -2.15),
                  raw_std=(4.17, 4.62, 3.71, 3.28), final_mean=0.0, final_std=0.5,
                  batch_size: int = 8):
         self.vae_name = vae_name
-        self.raw_mean = np.asarray(raw_mean, np.float32).reshape(1, -1, 1, 1)
-        self.raw_std = np.asarray(raw_std, np.float32).reshape(1, -1, 1, 1)
-        self.final_mean = final_mean
-        self.final_std = final_std
-        self.batch_size = batch_size
+        self.scale = (np.float32(final_std)
+                      / np.asarray(raw_std, np.float32)).reshape(1, -1, 1, 1)
+        self.bias = (np.float32(final_mean)
+                     - np.asarray(raw_mean, np.float32).reshape(1, -1, 1, 1)
+                     * self.scale)
+        self.batch_size = int(batch_size)
         self._vae = None
+        self._params = None
 
-    def init(self, device=None):
-        try:
-            from diffusers import AutoencoderKL  # pragma: no cover
-            self._vae = AutoencoderKL.from_pretrained(self.vae_name)
-        except Exception as e:  # pragma: no cover
-            raise RuntimeError(
-                "StabilityVAEEncoder needs the diffusers SD-VAE weights "
-                f"({self.vae_name}); unavailable in this environment") from e
+    def init(self, device=None, params=None):
+        """``params``: a flax variables dict (tests); otherwise loads the
+        converted weights from ``VAE_WEIGHTS``."""
+        from free_hunch_tpu.models.vae import AutoencoderKL
+        import jax
 
-    def encode(self, x):  # pragma: no cover - requires VAE weights
-        import torch
+        if self._vae is not None and (params is None or
+                                      params is self._params):
+            return
+        self._vae = AutoencoderKL()
+        if params is not None:
+            self._params = params
+        else:
+            path = os.path.abspath(VAE_WEIGHTS)
+            if not os.path.exists(path):
+                raise RuntimeError(
+                    "StabilityVAEEncoder needs the converted SD-VAE weights "
+                    f"({self.vae_name}) at {path}; unobtainable in this "
+                    "environment (zero egress) - convert with "
+                    "scripts/convert_vae_weights.py")
+            import flax.traverse_util as tu
+            flat = dict(np.load(path))
+            self._params = {"params": tu.unflatten_dict(
+                {tuple(k.split("/")): jnp.asarray(v)
+                 for k, v in flat.items()})}
+        self._enc = jax.jit(lambda p, x: self._vae.apply(p, x,
+                                                         method="encode"))
+        self._dec = jax.jit(lambda p, z: self._vae.apply(p, z,
+                                                         method="decode"))
+
+    def _batched(self, fn, x):
+        outs = [fn(self._params, x[i:i + self.batch_size])
+                for i in range(0, x.shape[0], self.batch_size)]
+        if isinstance(outs[0], tuple):
+            return tuple(jnp.concatenate([o[k] for o in outs])
+                         for k in range(len(outs[0])))
+        return jnp.concatenate(outs)
+
+    def encode_pixels(self, x) -> jnp.ndarray:
+        """raw uint8 pixels -> raw latents cat(mean, std) (reference :103)."""
         assert self._vae is not None, "call init() first"
-        xt = torch.from_numpy(np.asarray(x, np.float32)) / 127.5 - 1
-        with torch.no_grad():
-            z = self._vae.encode(xt).latent_dist.sample()
-        z = (z.numpy() - self.raw_mean) / self.raw_std * self.final_std + self.final_mean
-        return jnp.asarray(z)
+        x = jnp.asarray(x, jnp.float32) / 255.0
+        mean, std = self._batched(self._enc, x)
+        return jnp.concatenate([mean, std], axis=1)
 
-    def decode(self, z):  # pragma: no cover - requires VAE weights
-        import torch
+    def encode_latents(self, x, key=None) -> jnp.ndarray:
+        """raw latents -> final (standardised, sampled) latents (:118)."""
+        import jax
+        mean, std = jnp.split(jnp.asarray(x, jnp.float32), 2, axis=1)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        z = mean + jax.random.normal(key, mean.shape, jnp.float32) * std
+        return z * self.scale + self.bias
+
+    def encode(self, x, key=None) -> jnp.ndarray:
+        return self.encode_latents(self.encode_pixels(x), key=key)
+
+    def decode(self, z) -> jnp.ndarray:
         assert self._vae is not None, "call init() first"
-        raw = (np.asarray(z, np.float32) - self.final_mean) / self.final_std
-        raw = raw * self.raw_std + self.raw_mean
-        with torch.no_grad():
-            x = self._vae.decode(torch.from_numpy(raw)).sample
-        x = ((x.numpy() + 1) * 127.5).clip(0, 255).astype(np.uint8)
-        return jnp.asarray(x)
+        raw = (jnp.asarray(z, jnp.float32) - self.bias) / self.scale
+        x = self._batched(self._dec, raw)
+        return (jnp.clip(x, 0, 1) * 255.0).astype(jnp.uint8)

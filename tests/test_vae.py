@@ -1,0 +1,264 @@
+"""Oracle parity for the native flax SD-VAE (free_hunch_tpu/models/vae.py).
+
+The reference loads diffusers' AutoencoderKL at runtime (``training/
+encoders.py:137-151``); diffusers is absent here, so — as with LPIPS
+(tests/test_lpips.py) — the oracle is a from-scratch torch replica of the
+architecture driven by a RANDOM diffusers-layout state dict that both sides
+share. This verifies the flax topology, the NHWC/NCHW plumbing, the
+asymmetric downsample padding, the single-head attention, and the
+state-dict converter; real-weight activation only needs the published
+checkpoint dropped in (zero egress here).
+"""
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from free_hunch_tpu.data.encoders import StabilityVAEEncoder
+from free_hunch_tpu.models.vae import (AutoencoderKL, VAEConfig,
+                                       params_from_torch_state_dict)
+
+torch = pytest.importorskip("torch")
+F = torch.nn.functional
+
+CFG = VAEConfig(block_out_channels=(32, 64), layers_per_block=1,
+                latent_channels=4, norm_num_groups=8)
+
+
+# ---------------------------------------------------------------------------
+# from-scratch torch replica (reads a diffusers-layout state dict)
+
+def t_gn(x, sd, p, groups):
+    return F.group_norm(x, groups, sd[p + ".weight"], sd[p + ".bias"],
+                        eps=1e-6)
+
+
+def t_resnet(x, sd, p, groups):
+    h = F.silu(t_gn(x, sd, p + ".norm1", groups))
+    h = F.conv2d(h, sd[p + ".conv1.weight"], sd[p + ".conv1.bias"], padding=1)
+    h = F.silu(t_gn(h, sd, p + ".norm2", groups))
+    h = F.conv2d(h, sd[p + ".conv2.weight"], sd[p + ".conv2.bias"], padding=1)
+    if p + ".conv_shortcut.weight" in sd:
+        x = F.conv2d(x, sd[p + ".conv_shortcut.weight"],
+                     sd[p + ".conv_shortcut.bias"])
+    return x + h
+
+
+def t_attn(x, sd, p, groups):
+    h = t_gn(x, sd, p + ".group_norm", groups)
+    b, c, hh, ww = h.shape
+    hf = h.reshape(b, c, hh * ww).transpose(1, 2)
+    lin = lambda t, nm: t @ sd[f"{p}.{nm}.weight"].T + sd[f"{p}.{nm}.bias"]
+    q, k, v = lin(hf, "to_q"), lin(hf, "to_k"), lin(hf, "to_v")
+    attn = torch.softmax(q @ k.transpose(1, 2) / math.sqrt(c), dim=-1)
+    out = lin(attn @ v, "to_out.0")
+    return x + out.transpose(1, 2).reshape(b, c, hh, ww)
+
+
+def t_mid(x, sd, p, groups):
+    x = t_resnet(x, sd, p + ".resnets.0", groups)
+    x = t_attn(x, sd, p + ".attentions.0", groups)
+    return t_resnet(x, sd, p + ".resnets.1", groups)
+
+
+def t_encode(x, sd, cfg):
+    g = cfg.norm_num_groups
+    h = F.conv2d(x, sd["encoder.conv_in.weight"], sd["encoder.conv_in.bias"],
+                 padding=1)
+    for i in range(len(cfg.block_out_channels)):
+        for j in range(cfg.layers_per_block):
+            h = t_resnet(h, sd, f"encoder.down_blocks.{i}.resnets.{j}", g)
+        if i != len(cfg.block_out_channels) - 1:
+            h = F.pad(h, (0, 1, 0, 1))  # diffusers Downsample2D
+            h = F.conv2d(h,
+                         sd[f"encoder.down_blocks.{i}.downsamplers.0.conv.weight"],
+                         sd[f"encoder.down_blocks.{i}.downsamplers.0.conv.bias"],
+                         stride=2)
+    h = t_mid(h, sd, "encoder.mid_block", g)
+    h = F.silu(t_gn(h, sd, "encoder.conv_norm_out", g))
+    h = F.conv2d(h, sd["encoder.conv_out.weight"], sd["encoder.conv_out.bias"],
+                 padding=1)
+    moments = F.conv2d(h, sd["quant_conv.weight"], sd["quant_conv.bias"])
+    mean, logvar = moments.chunk(2, dim=1)
+    return mean, torch.exp(0.5 * logvar.clamp(-30.0, 20.0))
+
+
+def t_decode(z, sd, cfg):
+    g = cfg.norm_num_groups
+    z = F.conv2d(z, sd["post_quant_conv.weight"], sd["post_quant_conv.bias"])
+    h = F.conv2d(z, sd["decoder.conv_in.weight"], sd["decoder.conv_in.bias"],
+                 padding=1)
+    h = t_mid(h, sd, "decoder.mid_block", g)
+    for i in range(len(cfg.block_out_channels)):
+        for j in range(cfg.layers_per_block + 1):
+            h = t_resnet(h, sd, f"decoder.up_blocks.{i}.resnets.{j}", g)
+        if i != len(cfg.block_out_channels) - 1:
+            h = F.interpolate(h, scale_factor=2.0, mode="nearest")
+            h = F.conv2d(h, sd[f"decoder.up_blocks.{i}.upsamplers.0.conv.weight"],
+                         sd[f"decoder.up_blocks.{i}.upsamplers.0.conv.bias"],
+                         padding=1)
+    h = F.silu(t_gn(h, sd, "decoder.conv_norm_out", g))
+    return F.conv2d(h, sd["decoder.conv_out.weight"],
+                    sd["decoder.conv_out.bias"], padding=1)
+
+
+# ---------------------------------------------------------------------------
+# random diffusers-layout state dict
+
+def random_state_dict(cfg, seed=0):
+    gen = torch.Generator().manual_seed(seed)
+    sd = {}
+
+    def conv(p, cin, cout, k):
+        sd[p + ".weight"] = torch.randn(cout, cin, k, k, generator=gen) * (
+            1.0 / math.sqrt(cin * k * k))
+        sd[p + ".bias"] = torch.randn(cout, generator=gen) * 0.1
+
+    def norm(p, c):
+        sd[p + ".weight"] = 1.0 + 0.1 * torch.randn(c, generator=gen)
+        sd[p + ".bias"] = 0.1 * torch.randn(c, generator=gen)
+
+    def lin(p, cin, cout):
+        sd[p + ".weight"] = torch.randn(cout, cin, generator=gen) / math.sqrt(cin)
+        sd[p + ".bias"] = torch.randn(cout, generator=gen) * 0.1
+
+    def resnet(p, cin, cout):
+        norm(p + ".norm1", cin)
+        conv(p + ".conv1", cin, cout, 3)
+        norm(p + ".norm2", cout)
+        conv(p + ".conv2", cout, cout, 3)
+        if cin != cout:
+            conv(p + ".conv_shortcut", cin, cout, 1)
+
+    def attn(p, c):
+        norm(p + ".group_norm", c)
+        for nm in ("to_q", "to_k", "to_v", "to_out.0"):
+            lin(f"{p}.{nm}", c, c)
+
+    def mid(p, c):
+        resnet(p + ".resnets.0", c, c)
+        attn(p + ".attentions.0", c)
+        resnet(p + ".resnets.1", c, c)
+
+    chans = cfg.block_out_channels
+    conv("encoder.conv_in", cfg.in_channels, chans[0], 3)
+    ch = chans[0]
+    for i, c in enumerate(chans):
+        for j in range(cfg.layers_per_block):
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}", ch, c)
+            ch = c
+        if i != len(chans) - 1:
+            conv(f"encoder.down_blocks.{i}.downsamplers.0.conv", c, c, 3)
+    mid("encoder.mid_block", chans[-1])
+    norm("encoder.conv_norm_out", chans[-1])
+    conv("encoder.conv_out", chans[-1], 2 * cfg.latent_channels, 3)
+    conv("quant_conv", 2 * cfg.latent_channels, 2 * cfg.latent_channels, 1)
+
+    rchans = tuple(reversed(chans))
+    conv("post_quant_conv", cfg.latent_channels, cfg.latent_channels, 1)
+    conv("decoder.conv_in", cfg.latent_channels, rchans[0], 3)
+    mid("decoder.mid_block", rchans[0])
+    ch = rchans[0]
+    for i, c in enumerate(rchans):
+        for j in range(cfg.layers_per_block + 1):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", ch, c)
+            ch = c
+        if i != len(rchans) - 1:
+            conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", c, c, 3)
+    norm("decoder.conv_norm_out", rchans[-1])
+    conv("decoder.conv_out", rchans[-1], cfg.out_channels, 3)
+    return sd
+
+
+@pytest.fixture(scope="module")
+def shared():
+    sd = random_state_dict(CFG, seed=7)
+    params = params_from_torch_state_dict(sd, CFG)
+    return sd, params, AutoencoderKL(CFG)
+
+
+def test_encoder_parity(shared):
+    sd, params, vae = shared
+    x = np.random.default_rng(0).standard_normal((2, 3, 32, 32)).astype(np.float32)
+    mean_j, std_j = jax.jit(
+        lambda p, xx: vae.apply(p, xx, method="encode"))(params, jnp.asarray(x))
+    with torch.no_grad():
+        mean_t, std_t = t_encode(torch.from_numpy(x), sd, CFG)
+    np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(std_j), std_t.numpy(),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_decoder_parity(shared):
+    sd, params, vae = shared
+    z = np.random.default_rng(1).standard_normal((2, 4, 8, 8)).astype(np.float32)
+    out_j = jax.jit(
+        lambda p, zz: vae.apply(p, zz, method="decode"))(params, jnp.asarray(z))
+    with torch.no_grad():
+        out_t = t_decode(torch.from_numpy(z), sd, CFG)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=0, atol=2e-4)
+
+
+def test_stability_encoder_wrapper(shared):
+    """End-to-end wrapper semantics vs the reference's encode/decode maps
+    (training/encoders.py:103-132): x/255 input, cat(mean,std) raw latents,
+    affine standardisation, decode clamp(0,1)*255 uint8."""
+    sd, params, _ = shared
+    enc = StabilityVAEEncoder(batch_size=1)
+    # init with explicit params + the small test config
+    from free_hunch_tpu.models.vae import AutoencoderKL as VAEcls
+    enc._vae = VAEcls(CFG)
+    enc._params = params
+    enc._enc = jax.jit(lambda p, x: enc._vae.apply(p, x, method="encode"))
+    enc._dec = jax.jit(lambda p, z: enc._vae.apply(p, z, method="decode"))
+
+    x8 = np.random.default_rng(2).integers(0, 256, (2, 3, 32, 32),
+                                           dtype=np.uint8)
+    raw = enc.encode_pixels(x8)
+    with torch.no_grad():
+        mean_t, std_t = t_encode(torch.from_numpy(
+            x8.astype(np.float32) / 255.0), sd, CFG)
+    np.testing.assert_allclose(np.asarray(raw),
+                               torch.cat([mean_t, std_t], dim=1).numpy(),
+                               rtol=0, atol=2e-4)
+
+    lat = enc.encode_latents(raw, key=jax.random.PRNGKey(3))
+    assert lat.shape == (2, 4, 16, 16)
+
+    dec = enc.decode(lat)
+    assert dec.dtype == jnp.uint8 and dec.shape == (2, 3, 32, 32)
+    # reference decode map on the same latents
+    raw_back = (np.asarray(lat, np.float32) - enc.bias) / enc.scale
+    with torch.no_grad():
+        out_t = t_decode(torch.from_numpy(raw_back), sd, CFG)
+    want = (out_t.clamp(0, 1) * 255).to(torch.uint8).numpy()
+    got = np.asarray(dec).astype(np.int32)
+    # uint8 truncation at f32 parity: allow off-by-one on boundary pixels
+    assert np.abs(got - want.astype(np.int32)).max() <= 1
+
+
+def test_legacy_attention_naming():
+    """Converter accepts the legacy query/key/value/proj_attn (1x1 conv)
+    layout older diffusers checkpoints ship."""
+    sd = random_state_dict(CFG, seed=11)
+    legacy = {}
+    for k, v in sd.items():
+        for new, old in [(".to_q.", ".query."), (".to_k.", ".key."),
+                         (".to_v.", ".value."), (".to_out.0.", ".proj_attn.")]:
+            if new in k:
+                k = k.replace(new, old)
+                if k.endswith(".weight"):
+                    v = v[:, :, None, None]  # Linear -> 1x1 conv layout
+                break
+        legacy[k] = v
+    p_new = params_from_torch_state_dict(sd, CFG)
+    p_old = params_from_torch_state_dict(legacy, CFG)
+    flat_new = jax.tree_util.tree_leaves(p_new)
+    flat_old = jax.tree_util.tree_leaves(p_old)
+    for a, b in zip(flat_new, flat_old):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
