@@ -480,6 +480,66 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
     debug_transport = os.environ.get("AB_DEBUG_TRANSPORT") == "1"
     from free_hunch_tpu.guidance import covariance as cov_mod
 
+    # AB_DENSE_SHADOW=1: maintain a DENSE f64 ground-truth covariance evolved
+    # with exact algebra from the same inputs, and per call report each
+    # side's probe error AGAINST THE SHADOW. This attributes any low-rank
+    # state divergence to a side: the reference recomputes its covariance
+    # from a MAINTAINED inverse (growing Sherman-Morrison chains,
+    # online_update_bfgs.py:144-170) at every time update, which can inject
+    # large errors once a BFGS subtraction makes Sigma_0 near-singular,
+    # while our design inverts fresh per operation. Use res<=32 (dense d^2).
+    dense_shadow = os.environ.get("AB_DENSE_SHADOW") == "1"
+    shadow = None
+    if dense_shadow:
+        d_dim = 3 * res * res
+        shadow = dict(
+            S=np.diag(np.asarray(state.cov.diag[0], np.float64)),
+            prev=None)
+        shadow_ours_errs, shadow_ref_errs = [], []
+
+        def shadow_step(x_in, sigma, x0m):
+            """Exact dense replica of the time+space update sequence."""
+            S = shadow["S"]
+            xb = np.asarray(mine._to_basis(jnp.asarray(x_in)),
+                            np.float64).reshape(-1)
+            x0b = np.asarray(mine._to_basis(jnp.asarray(x0m)),
+                             np.float64).reshape(-1)
+            if shadow["prev"] is not None:
+                ps, pxb, pmb = shadow["prev"]
+                mean_t = pmb
+                if sigma != ps:
+                    a_sh = 1.0 / sigma**2 - 1.0 / ps**2
+                    M = np.eye(d_dim) + a_sh * S
+                    score_prev = (pmb - pxb) / ps**2
+                    score_t = (ps**2 / sigma**2) * np.linalg.solve(
+                        M, score_prev)
+                    mean_t = pxb + sigma**2 * score_t
+                    S = np.linalg.solve(M, S)
+                    S = (S + S.T) / 2
+                x_moved = bool(np.abs(xb - pxb).max() > 1e-12)
+                in_window = (mine.space_step_update_lower_threshold < sigma
+                             < mine.space_step_update_threshold)
+                if x_moved and in_window:
+                    dx = xb - pxb
+                    de = sigma**2 * (x0b - mean_t)
+                    sv = S @ dx
+                    dxsv = float(dx @ sv)
+                    dxde = float(dx @ de)
+                    if dxsv != 0.0 and dxde != 0.0:
+                        S = (S - np.outer(sv, sv) / dxsv
+                             + np.outer(de, de) / dxde)
+            shadow["S"] = S
+            shadow["prev"] = (float(sigma), xb, x0b)
+
+        def shadow_probe_errs(got, want):
+            pb = np.asarray(mine._to_basis(probe), np.float64).reshape(-1)
+            qb = shadow["S"] @ pb
+            q = np.asarray(mine._from_basis(
+                jnp.asarray(qb.reshape(probe.shape)), probe.shape[1:]))
+            scale = max(np.abs(q).max(), 1e-12)
+            shadow_ours_errs.append(float(np.abs(got - q).max() / scale))
+            shadow_ref_errs.append(float(np.abs(want - q).max() / scale))
+
     # capture the reference torch-CG iteration counts (its mechanism
     # discards the info dict) for per-call budget comparison. With
     # AB_CG_FIXED_ITERS=N both solvers run EXACTLY N iterations (rtol
@@ -539,6 +599,10 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
                   f"rel={np.abs(ours_mean - ref_mean).max() / scale_m:.3e}",
                   file=sys.stderr, flush=True)
 
+        if dense_shadow:
+            x0m_cur, _ = denoise(x_in, jnp.asarray(float(sigma), jnp.float32))
+            shadow_step(np.asarray(x_in), float(sigma), np.asarray(x0m_cur))
+
         out_j, state = mine.x0_mean_update(denoise, x_in, jnp.asarray(y),
                                            float(sigma), state)
         xt = torch.from_numpy(np.asarray(x_in)).requires_grad_()
@@ -556,6 +620,11 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
             torch.from_numpy(np.asarray(probe))).detach().numpy()
         crel = float(np.abs(got - want).max() / max(np.abs(want).max(), 1e-12))
         cov_errs.append(crel)
+        if dense_shadow:
+            shadow_probe_errs(got, want)
+            print(f"    [shadow] ours={shadow_ours_errs[-1]:.3e} "
+                  f"ref={shadow_ref_errs[-1]:.3e}",
+                  file=sys.stderr, flush=True)
         call_sigmas.append(float(sigma))
         ours_cg_niters.append(int(state.cg_niter))
         if verbose:
@@ -645,6 +714,19 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
         per_call_cg_iters=dict(ours=ours_cg_niters, reference=ref_cg_niters),
         wall_clock_s=round(time.time() - t0, 1),
         agree=agree,
+        **({"dense_shadow": dict(
+            description="per-call rel err of each side's covariance probe "
+                        "vs an exact dense f64 covariance evolved from the "
+                        "same inputs (AB_DENSE_SHADOW=1)",
+            ours=dict(max=float(np.max(shadow_ours_errs)),
+                      median=float(np.median(shadow_ours_errs)),
+                      final=float(shadow_ours_errs[-1])),
+            reference=dict(max=float(np.max(shadow_ref_errs)),
+                           median=float(np.median(shadow_ref_errs)),
+                           final=float(shadow_ref_errs[-1])),
+            per_call_ours=[float(f"{e:.3e}") for e in shadow_ours_errs],
+            per_call_reference=[float(f"{e:.3e}") for e in shadow_ref_errs],
+        )} if dense_shadow else {}),
     )
 
 
