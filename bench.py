@@ -54,18 +54,27 @@ def main():
 
     op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),
                       sigma_s=0.1, kernel_size=61, intensity=3.0)
-    mech = choose_conditioning_mechanism("online_covariance")(
-        cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
-        image_base_covariance="dct_diagonal",
-        init_denoiser_variance=1.0, init_noise_variance=80.0**2,
-        data_dim=3 * res * res, cov_capacity=int(os.environ.get("BENCH_COV_K", 128)),
-        solver_type="customcuda", max_rtol=float(os.environ.get("BENCH_MAX_RTOL", 1.0)),
-        cg_maxiter=int(os.environ.get("BENCH_CG_MAXITER", 5000)))
 
     xs, sigma0_scaled = prepare_schedule(
         round_sigma=precond.round_sigma, net_sigma_min=precond.sigma_min,
         net_sigma_max=precond.sigma_max, num_steps=num_steps, solver="heun",
         discretization="edm", schedule="linear", scaling="none")
+
+    # BENCH_COV_K: "auto" (default) = exact schedule-derived capacity; every
+    # CG iteration streams the full (d, K) factor from HBM, so anything
+    # larger is pure bandwidth waste (4*steps was ~3.3x oversized)
+    cov_k_env = os.environ.get("BENCH_COV_K", "auto")
+    from free_hunch_tpu.samplers.edm import required_cov_capacity
+    cov_k = (required_cov_capacity(xs) if cov_k_env == "auto"
+             else int(cov_k_env))
+    log(f"cov_capacity={cov_k}")
+    mech = choose_conditioning_mechanism("online_covariance")(
+        cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
+        image_base_covariance="dct_diagonal",
+        init_denoiser_variance=1.0, init_noise_variance=80.0**2,
+        data_dim=3 * res * res, cov_capacity=cov_k,
+        solver_type="customcuda", max_rtol=float(os.environ.get("BENCH_MAX_RTOL", 1.0)),
+        cg_maxiter=int(os.environ.get("BENCH_CG_MAXITER", 5000)))
 
     @jax.jit
     def run(params_, noise, y, key):

@@ -40,7 +40,8 @@ from free_hunch_tpu.operators import get_operator
 from free_hunch_tpu.operators import masks as mask_mod
 from free_hunch_tpu.parallel import dist_init, get_rank, get_world_size
 from free_hunch_tpu.parallel.mesh import make_mesh, shard_batch
-from free_hunch_tpu.samplers.edm import prepare_schedule, sample_scan
+from free_hunch_tpu.samplers.edm import (prepare_schedule, required_cov_capacity,
+                                         sample_scan)
 from free_hunch_tpu.utils.logging import setup_logger
 from free_hunch_tpu.utils.misc import set_random_seed
 
@@ -166,13 +167,28 @@ class Evaluator:
                        init_denoiser_variance=1.0,
                        init_noise_variance=float(self.sigma0_scaled) ** 2,
                        data_dim=3 * self.res * self.res,
-                       cov_capacity=int(opts.get("cov_capacity", 128)),
+                       cov_capacity=self._cov_capacity(opts),
                        data_dir=opts.get("dataset_path"))
         self._mech_builder = lambda op: mech_cls(forward_operator=op, **mkw)
 
         self._run_batch = jax.jit(self._batch_fn)
         self._install_codecs()
         self._lpips = lpips_fn("vgg")
+
+    def _cov_capacity(self, opts) -> int:
+        """'auto' (default): exact schedule-derived capacity (see
+        ``samplers.edm.required_cov_capacity``) — every CG iteration streams
+        the whole (d, K) factor, so an oversized K is pure HBM-bandwidth
+        waste. An integer pins it explicitly (e.g. for A/B against the
+        reference's max_vector_count budget)."""
+        cap = opts.get("cov_capacity", "auto")
+        if cap in (None, "auto", 0, "0"):
+            return required_cov_capacity(
+                self.xs,
+                lower=float(opts.get("space_step_update_lower_threshold", 1.0)),
+                upper=float(opts.get("space_step_update_threshold", 10.0)),
+                do_space_updates=bool(opts.get("do_space_updates", True)))
+        return int(cap)
 
     def _install_codecs(self):
         """Every device computation outside the main batch function also runs

@@ -186,6 +186,31 @@ def prepare_schedule(
     return xs, sigma0_scaled
 
 
+def required_cov_capacity(xs: dict, lower: float = 1.0, upper: float = 10.0,
+                          do_space_updates: bool = True, slack: int = 2) -> int:
+    """Exact low-rank capacity the Free Hunch state needs for a schedule.
+
+    The covariance's rank only grows through BFGS space updates (2 columns
+    each), and those fire only on guidance calls whose sigma lies strictly
+    inside the space-update window (``guidance/mechanisms.py`` ``do_space``
+    gate; reference ``online_update_bfgs.py:250-257``). The schedule is host
+    data, so the in-window call count — and therefore the exact capacity —
+    is static. Rounds 1–2 shipped a worst-case ``4*steps`` default (K=128),
+    3.3x the 38 columns this protocol can ever activate; since every CG
+    iteration streams the full (d, K) factor from HBM regardless of the
+    active count, the oversize was pure memory-bandwidth waste (~2/3 of the
+    covariance+CG time at 256px).
+    """
+    if not do_space_updates:
+        return 2  # rank stays 0; minimum shape for the update machinery
+    sig = np.concatenate([
+        np.asarray(xs["sigma_hat"], np.float64),
+        np.asarray(xs["sigma_prime"], np.float64)[np.asarray(xs["use_heun"], bool)],
+    ])
+    n_window = int(np.sum((sig > lower) & (sig < upper)))
+    return max(2 * n_window + slack, 2)
+
+
 def sample_scan(denoise: Callable, mechanism, noise: jnp.ndarray, y: jnp.ndarray,
                 xs: dict, rng_key, *, sigma0_scaled: float, alpha: float = 1.0,
                 return_trajectory: bool = False, collect_diagnostics: bool = False):

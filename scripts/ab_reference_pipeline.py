@@ -760,6 +760,17 @@ def main():
                          "the real dct prior), removing the formula term "
                          "from the A/B")
     ap.add_argument("--rtol_floor", type=float, default=1e-6)
+    ap.add_argument("--max_rtol", type=float, default=1.0,
+                    help="cap on BOTH sides' CG rtol schedule (teacher mode)."
+                         " Tightening it (e.g. 1e-10 with f64) makes every"
+                         " CG solution unique, removing loose-rtol iterate"
+                         " path-dependence from the A/B — the control that"
+                         " isolates it from genuine algebra differences")
+    ap.add_argument("--sigma_s", type=float, default=0.05,
+                    help="inpainting measurement noise (teacher mode)."
+                         " Larger values lower the guidance-system condition"
+                         " number so a tight rtol is reachable within the"
+                         " CG budget")
     ap.add_argument("--out", default=None,
                     help="output json path (default docs/ab_reference_<res>.json)")
     args = ap.parse_args()
@@ -771,7 +782,8 @@ def main():
             num_res_blocks=args.num_res_blocks, steps=args.steps,
             seed=args.seed, basis=args.basis, operator=args.operator,
             precision=args.precision, share_net=args.share_net,
-            rtol_floor=args.rtol_floor, transport=args.transport)
+            rtol_floor=args.rtol_floor, transport=args.transport,
+            max_rtol=args.max_rtol, sigma_s=args.sigma_s)
     if args.mode in ("free", "both"):
         out["free_running"] = run_ab(
             res=args.res, channels=args.channels,
