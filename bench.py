@@ -11,6 +11,7 @@ publishes no numbers — BASELINE.md).
 Prints ONE JSON line on stdout; progress goes to stderr.
 Env knobs: BENCH_BATCH (default 2), BENCH_STEPS (default 30), BENCH_ITERS.
 """
+import functools
 import json
 import os
 import sys
@@ -76,7 +77,14 @@ def main():
         solver_type="customcuda", max_rtol=float(os.environ.get("BENCH_MAX_RTOL", 1.0)),
         cg_maxiter=int(os.environ.get("BENCH_CG_MAXITER", 5000)))
 
-    @jax.jit
+    # BENCH_DONATE=1: donate the noise/y input buffers (the output x aliases
+    # noise's allocation). Worth ~2x batch*3*res^2*4 bytes of HBM — enough to
+    # fit configurations that miss capacity by a few MB (batch-16 remat
+    # misses by 16.19M without it). Donated buffers die after the call, so
+    # the timing loop must re-materialise them per iteration.
+    donate = os.environ.get("BENCH_DONATE", "0") == "1"
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2) if donate else ())
     def run(params_, noise, y, key):
         denoise = lambda x, s: precond.apply(params_, x, s)
         x, _ = sample_scan(denoise, mech, noise, y, xs, key,
@@ -94,16 +102,28 @@ def main():
         cond, jax.random.fold_in(key, 1))
     noise = jax.random.normal(jax.random.fold_in(key, 2), (batch, 3, res, res))
 
+    def fresh_inputs():
+        if not donate:
+            return noise, y
+        c = jax.jit(lambda k: jax.random.uniform(
+            k, (batch, 3, res, res), minval=-1, maxval=1))(jax.random.fold_in(key, 0))
+        y_ = jax.jit(lambda cc, k: op.forward(cc, noiseless=False, key=k))(
+            c, jax.random.fold_in(key, 1))
+        n_ = jax.jit(lambda k: jax.random.normal(
+            k, (batch, 3, res, res)))(jax.random.fold_in(key, 2))
+        return n_, y_
+
     log("compiling + warmup run...")
     t0 = time.time()
-    _, chk = run(params, noise, y, jax.random.fold_in(key, 3))
+    _, chk = run(params, *fresh_inputs(), jax.random.fold_in(key, 3))
     log(f"checksum {float(chk):.4f}")
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     times = []
     for i in range(iters):
+        n_, y_ = fresh_inputs()
         t0 = time.time()
-        _, chk = run(params, noise, y, jax.random.fold_in(key, 10 + i))
+        _, chk = run(params, n_, y_, jax.random.fold_in(key, 10 + i))
         chk = float(chk)
         times.append(time.time() - t0)
         log(f"iter {i}: {times[-1]:.2f}s (checksum {chk:.4f})")
