@@ -68,8 +68,9 @@ def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
     model = create_model(dtype=dtype, remat=remat, **model_args)
 
     cache = state_dict_path + ".npz" if state_dict_path else None
-    if cache and os.path.exists(cache):
-        params = load_params_npz(cache)
+    cached = _try_load_cache(cache)
+    if cached is not None:
+        params = cached
     elif state_dict_path and os.path.exists(state_dict_path):
         params = load_torch_checkpoint(state_dict_path, model.cfg)
         try:
@@ -83,8 +84,9 @@ def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
         # seed so different-seed requests don't collide.
         rcache = (f"{state_dict_path}.random{rng_seed}.npz"
                   if state_dict_path else None)
-        if rcache and os.path.exists(rcache):
-            return model, load_params_npz(rcache), model_args
+        rcached = _try_load_cache(rcache)
+        if rcached is not None:
+            return model, rcached, model_args
         res = model_args.get("image_size", 256)
         init_kwargs = {}
         if model_args.get("class_cond"):
@@ -122,7 +124,29 @@ def save_params_npz(path: str, params: dict) -> None:
     import flax.traverse_util as tu
     flat = {"/".join(k): np.asarray(v) for k, v in
             tu.flatten_dict(params).items()}
-    np.savez_compressed(path, **flat)
+    # atomic: a process killed mid-write must not leave a truncated cache
+    # that poisons every later load
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:  # file object: avoids numpy's .npz suffixing
+        np.savez_compressed(f, **flat)
+    os.replace(tmp, path)
+
+
+def _try_load_cache(path):
+    """Load a cached params npz, deleting it and returning None if corrupt
+    (e.g. a truncated write from a killed process)."""
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        return load_params_npz(path)
+    except Exception as e:  # BadZipFile / OSError / KeyError on truncation
+        import warnings
+        warnings.warn(f"discarding corrupt params cache {path!r}: {e!r}")
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        return None
 
 
 def load_params_npz(path: str) -> dict:
