@@ -409,7 +409,7 @@ class FreeHunch(ConditioningMechanism):
         c = jax.lax.with_sharding_constraint
         return LowRank(
             diag=c(cov.diag, P(da, ma)),
-            U=c(cov.U, P(da, ma, None)),
+            Ut=c(cov.Ut, P(da, None, ma)),
             M=c(cov.M, P(da, None, None)),
             k=c(cov.k, P(da)) if cov.k.ndim else cov.k)
 
@@ -507,7 +507,7 @@ class FreeHunch(ConditioningMechanism):
         cov_mv = lambda v: self.cov_matvec_pixel(cov, v)
         # mean eigenvalue of Sigma_0 per sample (trace/d) -> CG preconditioner
         d_dim = cov.diag.shape[-1]
-        lr_trace = jax.vmap(lambda c: jnp.sum(c.M * (c.U.T @ c.U)))(cov)
+        lr_trace = jax.vmap(lambda c: jnp.sum(c.M * (c.Ut @ c.Ut.T)))(cov)
         cov_vbar = (jnp.sum(cov.diag, axis=-1) + lr_trace) / d_dim
         # DCT bases: the state's diagonal is a per-frequency variance —
         # feed it to the spectral preconditioner (the scalar mean is off by

@@ -9,10 +9,20 @@ inner weights can be folded into the columns. We keep the k x k inner matrix
 
 * removes complex arithmetic and matrix square roots entirely (a BFGS update
   appends two columns with inner weights of either sign — no sqrt needed),
-* keeps every matvec a pair of (d, K) matmuls — MXU-native f32,
+* keeps every matvec a pair of (K, d) matmuls — MXU/VPU-native f32,
 * makes the representation a fixed-shape pytree (capacity K, ``k`` active
   columns, inactive columns zero / inactive inner block identity), so it can
   live in a ``lax.scan`` carry.
+
+Memory layout (TPU-critical): the factor is stored TRANSPOSED, ``Ut`` of
+shape (K, d) holding the columns of the mathematical U as rows. TPU tiles
+pad the two minor dimensions to (8 sublanes, 128 lanes); a (d, K) array with
+K ~ 34 pads the lane dimension 34 -> 128 and every factor read then streams
+3.8x the useful bytes (measured: the CG-body factor dots ran at the HBM
+roofline *of the padded size*, docs/bench/op_profile_full.json). With (K, d)
+the lane dimension is d (a multiple of 128 for image states) and only the
+sublane dimension pads (34 -> 40, 18%): the hottest guidance ops get ~3.2x
+cheaper and the carried state drops ~3.2x in physical HBM.
 
 Equivalences are tested against dense linear algebra in
 ``tests/test_lowrank.py`` and against the reference update math in
@@ -28,20 +38,26 @@ from jax import lax
 
 
 class LowRank(NamedTuple):
-    """Symmetric d x d matrix ``diag(diag) + U @ M @ U.T``.
+    """Symmetric d x d matrix ``diag(diag) + Ut.T @ M @ Ut``.
 
-    diag: (d,), U: (d, K) with columns >= k identically zero,
-    M: (K, K) symmetric with the inactive block equal to (+/-) identity,
-    k: () int32 — number of active columns.
+    diag: (d,), Ut: (K, d) — mathematical U columns stored as rows, rows
+    >= k identically zero, M: (K, K) symmetric with the inactive block equal
+    to (+/-) identity, k: () int32 — number of active columns.
     """
     diag: jnp.ndarray
-    U: jnp.ndarray
+    Ut: jnp.ndarray
     M: jnp.ndarray
     k: jnp.ndarray
 
     @property
     def capacity(self) -> int:
-        return self.U.shape[-1]
+        return self.Ut.shape[-2]
+
+    @property
+    def U(self) -> jnp.ndarray:
+        """Mathematical (d, K) factor (a transposed view; prefer Ut in
+        compute paths so XLA keeps the lane-major layout)."""
+        return jnp.swapaxes(self.Ut, -1, -2)
 
 
 def init(diag: jnp.ndarray, capacity: int) -> LowRank:
@@ -49,7 +65,7 @@ def init(diag: jnp.ndarray, capacity: int) -> LowRank:
     dtype = diag.dtype
     return LowRank(
         diag=diag,
-        U=jnp.zeros((d, capacity), dtype),
+        Ut=jnp.zeros((capacity, d), dtype),
         M=jnp.eye(capacity, dtype=dtype),
         k=jnp.asarray(0, jnp.int32),
     )
@@ -57,7 +73,7 @@ def init(diag: jnp.ndarray, capacity: int) -> LowRank:
 
 def matvec(rep: LowRank, v: jnp.ndarray) -> jnp.ndarray:
     """(diag(a) + U M U^T) @ v for v of shape (d,) or (d, m)."""
-    core = rep.U @ (rep.M @ (rep.U.T @ v))
+    core = rep.Ut.T @ (rep.M @ (rep.Ut @ v))
     if v.ndim == 1:
         return rep.diag * v + core
     return rep.diag[:, None] * v + core
@@ -77,10 +93,10 @@ def inverse(rep: LowRank) -> LowRank:
     Mi = -(M^-1 + U^T D^-1 U)^-1. Inactive columns stay zero; the inactive
     inner block stays (-)identity, preserving the representation invariant."""
     diag_inv = 1.0 / rep.diag
-    Ui = diag_inv[:, None] * rep.U
-    inner = _inv_sym(rep.M) + _sym(rep.U.T @ Ui)
+    Uit = rep.Ut * diag_inv[None, :]  # rows of D^-1 U
+    inner = _inv_sym(rep.M) + _sym(rep.Ut @ Uit.T)
     Mi = -_inv_sym(inner)
-    return LowRank(diag=diag_inv, U=Ui, M=Mi, k=rep.k)
+    return LowRank(diag=diag_inv, Ut=Uit, M=Mi, k=rep.k)
 
 
 def shift_diag(rep: LowRank, c) -> LowRank:
@@ -90,17 +106,18 @@ def shift_diag(rep: LowRank, c) -> LowRank:
 
 def scale(rep: LowRank, alpha) -> LowRank:
     """Representation of (alpha * A)."""
-    return LowRank(diag=rep.diag * alpha, U=rep.U, M=rep.M * alpha, k=rep.k)
+    return LowRank(diag=rep.diag * alpha, Ut=rep.Ut, M=rep.M * alpha, k=rep.k)
 
 
 def affine(rep: LowRank, alpha, beta) -> LowRank:
     """Representation of (alpha * A + beta * I)."""
-    return LowRank(diag=rep.diag * alpha + beta, U=rep.U, M=rep.M * alpha, k=rep.k)
+    return LowRank(diag=rep.diag * alpha + beta, Ut=rep.Ut, M=rep.M * alpha,
+                   k=rep.k)
 
 
 def dense(rep: LowRank) -> jnp.ndarray:
     """Materialise the full matrix (tests / tiny dims only)."""
-    return jnp.diag(rep.diag) + rep.U @ rep.M @ rep.U.T
+    return jnp.diag(rep.diag) + rep.Ut.T @ rep.M @ rep.Ut
 
 
 def compress(rep: LowRank, target_rank: int) -> LowRank:
@@ -109,35 +126,33 @@ def compress(rep: LowRank, target_rank: int) -> LowRank:
 
     Replaces the reference's ``drop_vectors`` keep-the-most-recent heuristic
     (``online_update_bfgs.py:233-245``) with the best rank-r approximation:
-    with G = U^T U = L L^T (Cholesky), U M U^T = W (L^T M L)... more precisely
-    eigendecomposing H = L^T M L = Q Lam Q^T gives U M U^T = W Lam W^T with
-    exactly orthonormal W = U L^-T Q, so truncating Lam is optimal in any
-    unitarily-invariant norm. All dense work is K x K; the only d-sized op is
-    one (d,K) x (K,K) matmul. Inactive (zero) columns sort to |lam| ~ 0 and
-    fall out naturally.
+    with G = U^T U = L L^T (Cholesky), eigendecomposing H = L^T M L =
+    Q Lam Q^T gives U M U^T = W Lam W^T with exactly orthonormal
+    W = U L^-T Q, so truncating Lam is optimal in any unitarily-invariant
+    norm. All dense work is K x K; the only d-sized op is one (K,K) x (K,d)
+    matmul. Inactive (zero) columns sort to |lam| ~ 0 and fall out naturally.
     """
     K = rep.capacity
     dtype = rep.diag.dtype
-    G = _sym(rep.U.T @ rep.U)
+    G = _sym(rep.Ut @ rep.Ut.T)
     jitter = (jnp.trace(G) / K) * 1e-7 + jnp.asarray(1e-30, dtype)
     L = jnp.linalg.cholesky(G + jitter * jnp.eye(K, dtype=dtype))
     H = _sym(L.T @ rep.M @ L)
     lam, Q = jnp.linalg.eigh(H)
-    # W = U L^-T Q, orthonormal columns
-    W = jax.scipy.linalg.solve_triangular(L, rep.U.T, lower=True)
-    W = (Q.T @ W).T
+    # W^T = Q^T L^-1 U^T, orthonormal rows (the transposed storage of W)
+    Wt = Q.T @ jax.scipy.linalg.solve_triangular(L, rep.Ut, lower=True)
     # order by |eigenvalue| descending; keep at most target_rank, and drop
     # negligible ones outright (their 1/lambda would poison later Woodbury
     # solves)
     order = jnp.argsort(-jnp.abs(lam))
     lam_sorted = lam[order]
-    W_sorted = W[:, order]
+    Wt_sorted = Wt[order, :]
     strong = jnp.abs(lam_sorted) > 1e-6 * jnp.abs(lam_sorted[0]) + jnp.finfo(dtype).tiny
     col_mask = jnp.logical_and(jnp.arange(K) < target_rank, strong)
     k_new = jnp.sum(col_mask).astype(jnp.int32)
-    U_new = jnp.where(col_mask[None, :], W_sorted, 0.0)
+    Ut_new = jnp.where(col_mask[:, None], Wt_sorted, 0.0)
     M_new = jnp.diag(jnp.where(col_mask, lam_sorted, 1.0))
-    return LowRank(diag=rep.diag, U=U_new.astype(dtype), M=M_new.astype(dtype),
+    return LowRank(diag=rep.diag, Ut=Ut_new.astype(dtype), M=M_new.astype(dtype),
                    k=k_new)
 
 
@@ -161,9 +176,9 @@ def append_pair(rep: LowRank, col_a: jnp.ndarray, w_a, col_b: jnp.ndarray, w_b) 
     cb, wb = norm_absorb(col_b, w_b)
 
     zero = jnp.zeros((), k.dtype)
-    U = lax.dynamic_update_slice(rep.U, ca[:, None], (zero, k))
-    U = lax.dynamic_update_slice(U, cb[:, None], (zero, k + 1))
+    Ut = lax.dynamic_update_slice(rep.Ut, ca[None, :], (k, zero))
+    Ut = lax.dynamic_update_slice(Ut, cb[None, :], (k + 1, zero))
     # The inactive block of M is diagonal, so overwriting the two diagonal
     # entries is a complete update.
     M = rep.M.at[k, k].set(wa).at[k + 1, k + 1].set(wb)
-    return LowRank(diag=rep.diag, U=U, M=M, k=k + 2)
+    return LowRank(diag=rep.diag, Ut=Ut, M=M, k=k + 2)

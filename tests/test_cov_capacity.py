@@ -46,11 +46,17 @@ def test_no_space_updates_gives_minimum():
 def test_tight_capacity_matches_oversized():
     """Same guidance outputs and the same active column count whether the
     capacity is exact or 4x oversized. Inactive columns are exact zeros in
-    every (d, K) matvec, but the k x k inner solves (Woodbury inv) run at
-    the full K x K shape, so LU rounding differs at ~f32 eps between
-    capacities and the BFGS recursion amplifies it over calls (the same
-    measured chaos as docs/diag_bfgs_compounding.json) — hence graded
-    per-call tolerances rather than exact equality."""
+    every (K, d) matvec, but the k x k inner solves (Woodbury inv) run at
+    the full K x K shape, so LU rounding differs at ~eps between capacities
+    and the BFGS recursion amplifies it over calls (the same measured chaos
+    as docs/diag_bfgs_compounding.json). The algebra runs in f64 so the
+    capacity-equivalence is tested sharply instead of chaos-limited (at f32
+    the graded tolerances had to absorb whatever amplification the current
+    dot layouts produce): in f64 the two capacities are bitwise identical on
+    a single CPU device; under the suite's forced 8-device host platform,
+    XLA's per-shape codegen differs enough to flip ONE f32 ulp in the f32
+    stages (denoiser eval / final cast), with no growth across calls —
+    hence the few-ulp tolerance on the later calls."""
     op_mask = (np.random.default_rng(0).uniform(size=(RES, RES)) > 0.3
                ).astype(np.float32)
     from free_hunch_tpu.operators import get_operator
@@ -71,7 +77,7 @@ def test_tight_capacity_matches_oversized():
             init_denoiser_variance=1.0, init_noise_variance=4.0,
             data_dim=3 * RES * RES, cov_capacity=capacity, cg_maxiter=25,
             space_step_update_lower_threshold=0.0,
-            space_step_update_threshold=1e9)
+            space_step_update_threshold=1e9, algebra_dtype="float64")
         state = mech.init_state(2, (3, RES, RES))
         outs = []
         x = jnp.asarray(rng.normal(size=(2, 3, RES, RES)), jnp.float32) * 2.0
@@ -87,8 +93,10 @@ def test_tight_capacity_matches_oversized():
     rng.bit_generator.state = rng_state  # same driving noise
     outs_big, k_big = run(32)
     assert k_small == k_big == 6
-    # rounding amplification: ~eps before any update, ~eps after the first
-    # appends, growing per space update thereafter
-    for (a, b), tol in zip(zip(outs_small, outs_big), (1e-6, 1e-6, 1e-4, 1e-2)):
+    # f64 algebra: capacity-independent to the f32-ulp codegen floor (see
+    # docstring); 2.5e-7 ~ 2 ulps at the O(1) output scale
+    for (a, b), tol in zip(zip(outs_small, outs_big),
+                           (1e-12, 1e-12, 2.5e-7, 2.5e-7)):
         scale = np.abs(b).max()
-        assert np.abs(a - b).max() <= tol * scale
+        assert np.abs(a - b).max() <= tol * scale, \
+            f"capacity-dependence {np.abs(a - b).max():.3e} > {tol:.0e}*{scale:.3f}"

@@ -168,7 +168,7 @@ def test_batched_updates_vmap():
     state = jax.vmap(lambda _: C.init_state(jnp.asarray(1.0, jnp.float32), D, K))(
         jnp.arange(3))
     out = jax.jit(jax.vmap(lambda st: C.time_update(st, 2.0, 1.5)))(state)
-    assert out.U.shape == (3, D, K)
+    assert out.Ut.shape == (3, K, D)
 
 
 def test_transport_stable_at_hessian_singularity():

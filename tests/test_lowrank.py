@@ -17,7 +17,7 @@ def _random_rep(key, d=12, K=8, k=4, dtype=jnp.float64):
     M = 0.5 * (M + M.T)
     mask = (jnp.arange(K) < k)
     M = jnp.where(mask[:, None] & mask[None, :], M, jnp.eye(K, dtype=dtype))
-    return rep._replace(U=U, M=M, k=jnp.asarray(k, jnp.int32))
+    return rep._replace(Ut=U.T, M=M, k=jnp.asarray(k, jnp.int32))
 
 
 def test_matvec_matches_dense():
@@ -114,4 +114,5 @@ def test_ops_are_jittable_and_vmappable():
     out = jax.jit(jax.vmap(lowrank.matvec))(reps, v)
     assert out.shape == (3, 12)
     inv = jax.jit(jax.vmap(lowrank.inverse))(reps)
-    assert inv.U.shape == (3, 12, 8)
+    assert inv.Ut.shape == (3, 8, 12)
+    assert inv.U.shape == (3, 12, 8)  # math-orientation view property

@@ -22,7 +22,7 @@ def test_sharded_matvec_matches_local():
 
     sharded = shard_state(rep, mesh)
     f = jax.jit(sharded_matvec(mesh))
-    got = f(sharded.diag, sharded.U, sharded.M,
+    got = f(sharded.diag, sharded.Ut, sharded.M,
             jax.device_put(v, jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec("model"))))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
@@ -39,6 +39,6 @@ def test_data_by_model_mesh():
     v = jnp.asarray(rng.normal(size=d), jnp.float32)
     f = jax.jit(sharded_matvec(mesh))
     sharded = shard_state(rep, mesh)
-    got = f(sharded.diag, sharded.U, sharded.M, v)
+    got = f(sharded.diag, sharded.Ut, sharded.M, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(lowrank.matvec(rep, v)),
                                rtol=1e-5)
