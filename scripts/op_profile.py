@@ -7,12 +7,17 @@ the JAX op path through the flax module tree, hlo_category) so every entry in
 the top-op table is attributable to a specific layer and op kind, and
 aggregates by category to show where the 65% of non-MXU time goes.
 
-Profiles ONLY the compiled forward (and optionally fwd+vjp) executable — no
-sampler, no CG — so the trace contains nothing but the UNet.
+Profiles the compiled forward / forward+vjp executable, or — OP_MODE=full —
+the COMPLETE guided sampling scan (identical construction to bench.py:
+online_covariance mechanism, DCT prior, tailored CG, 30 Heun steps), so the
+guidance-algebra overhead above the fwd+vjp ceiling can be attributed op by
+op instead of inferred by ablation (perf_breakdown.py).
 
-Usage: python scripts/op_profile.py            # forward
-       OP_MODE=vjp python scripts/op_profile.py  # forward + cotangent pullback
-Env: OP_BATCH (8), OP_ITERS (3), OP_MODE (fwd|vjp), OP_DTYPE (bf16|f32),
+Usage: python scripts/op_profile.py              # forward
+       OP_MODE=vjp  python scripts/op_profile.py # forward + cotangent pullback
+       OP_MODE=full python scripts/op_profile.py # full guided pipeline
+Env: OP_BATCH (8), OP_ITERS (3; full default 1), OP_MODE (fwd|vjp|full),
+     OP_DTYPE (bf16|f32), OP_STEPS (30, full only),
      OP_OUT (docs/bench/op_profile_<mode>.json)
 Reference cost anchor: count_flops.py:69-277.
 """
@@ -113,31 +118,71 @@ def main():
         def step(p, x, sigma):
             mean, _var = precond.apply(p, x, sigma)
             return mean
-    else:
+    elif mode == "vjp":
         def step(p, x, sigma):
             mean, pullback, _var = jax.vjp(
                 lambda xx: precond.apply(p, xx, sigma), x, has_aux=True)
             (grad,) = pullback(mean)  # cotangent = mean, like guidance's mat
             return mean + 0 * grad, grad
 
-    fn = jax.jit(step)
-    x = jnp.zeros((batch, 3, res, res), jnp.float32)
-    sigma = jnp.full((batch,), 10.0, jnp.float32)
+    if mode == "full":
+        # identical pipeline construction to bench.py
+        from free_hunch_tpu.guidance import choose_conditioning_mechanism
+        from free_hunch_tpu.operators import get_operator
+        from free_hunch_tpu.samplers.edm import (
+            prepare_schedule, required_cov_capacity, sample_scan)
+
+        num_steps = int(os.environ.get("OP_STEPS", 30))
+        iters = int(os.environ.get("OP_ITERS", 1))
+        op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),
+                          sigma_s=0.1, kernel_size=61, intensity=3.0)
+        xs, sigma0_scaled = prepare_schedule(
+            round_sigma=precond.round_sigma, net_sigma_min=precond.sigma_min,
+            net_sigma_max=precond.sigma_max, num_steps=num_steps,
+            solver="heun", discretization="edm", schedule="linear",
+            scaling="none")
+        mech = choose_conditioning_mechanism("online_covariance")(
+            cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
+            image_base_covariance="dct_diagonal",
+            init_denoiser_variance=1.0, init_noise_variance=80.0**2,
+            data_dim=3 * res * res, cov_capacity=required_cov_capacity(xs),
+            solver_type="customcuda", max_rtol=1.0, cg_maxiter=5000)
+
+        @jax.jit
+        def fn(p, noise, y, k):
+            denoise = lambda xx, ss: precond.apply(p, xx, ss)
+            out, _ = sample_scan(denoise, mech, noise, y, xs, k,
+                                 sigma0_scaled=sigma0_scaled)
+            return out, jnp.sum(out)
+
+        key = jax.random.PRNGKey(0)
+        cond = jax.random.uniform(jax.random.fold_in(key, 0),
+                                  (batch, 3, res, res), minval=-1, maxval=1)
+        y = jax.jit(lambda c, k: op.forward(c, noiseless=False, key=k))(
+            cond, jax.random.fold_in(key, 1))
+        noise = jax.random.normal(jax.random.fold_in(key, 2),
+                                  (batch, 3, res, res))
+        args = (params, noise, y, jax.random.fold_in(key, 3))
+    else:
+        fn = jax.jit(step)
+        x = jnp.zeros((batch, 3, res, res), jnp.float32)
+        sigma = jnp.full((batch,), 10.0, jnp.float32)
+        args = (params, x, sigma)
 
     t0 = time.time()
-    out = fn(params, x, sigma)
+    out = fn(*args)
     jax.block_until_ready(out)
     log(f"compile+first: {time.time() - t0:.1f}s")
 
     times = []
-    for _ in range(2):
+    for _ in range(1 if mode == "full" else 2):
         t0 = time.time()
-        jax.block_until_ready(fn(params, x, sigma))
+        jax.block_until_ready(fn(*args))
         times.append(time.time() - t0)
     log(f"steady-state: {min(times)*1e3:.1f} ms")
 
     # FLOPs from XLA cost analysis of the compiled executable
-    lowered = jax.jit(step).lower(params, x, sigma).compile()
+    lowered = fn.lower(*args).compile()
     ca = lowered.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
@@ -148,7 +193,7 @@ def main():
     from free_hunch_tpu.utils.profiling import trace
     with trace(tdir):
         for _ in range(iters):
-            jax.block_until_ready(fn(params, x, sigma))
+            jax.block_until_ready(fn(*args))
 
     agg, total_us, tracks = parse_trace(tdir)
     log(f"device tracks: {tracks[:6]} (+{max(0, len(tracks)-6)} more)")
