@@ -75,7 +75,8 @@ def main():
         init_denoiser_variance=1.0, init_noise_variance=80.0**2,
         data_dim=3 * res * res, cov_capacity=cov_k,
         solver_type="customcuda", max_rtol=float(os.environ.get("BENCH_MAX_RTOL", 1.0)),
-        cg_maxiter=int(os.environ.get("BENCH_CG_MAXITER", 5000)))
+        cg_maxiter=int(os.environ.get("BENCH_CG_MAXITER", 5000)),
+        cg_coords=os.environ.get("BENCH_CG_COORDS", "auto"))
 
     # BENCH_DONATE=1: donate the noise/y input buffers (the output x aliases
     # noise's allocation). Worth ~2x batch*3*res^2*4 bytes of HBM — enough to

@@ -331,6 +331,14 @@ class FreeHunch(ConditioningMechanism):
     # Floor for the sigma-adaptive CG rtol schedule. The f32 default stops
     # solves at the f32-achievable residual; f64 A/B runs can lower it.
     rtol_floor: float = RTOL_F32_FLOOR
+    # CG coordinate system for the deblur family: 'pixel' = original space;
+    # 'fourier' runs the identical CG path in weighted rfft2 coordinates —
+    # one FFT round-trip per iteration instead of six
+    # (solvers.deblur_mat_cg_fourier). 'auto' (default) picks by backend:
+    # fourier on CPU (measured 13% faster/iter), pixel on TPU, where XLA's
+    # rfft lowering makes the fourier iteration 1.78x MORE expensive
+    # (docs/bench/cg_coords_bench.json).
+    cg_coords: str = "auto"
     # Analytic-transport formula: 'telescoped' (production — the exact SPD
     # (I + a Sigma)^-1 form, oracle-verified 20x closer to the true value
     # with the real dct prior) or 'two_inverse' (the reference's literal
@@ -525,7 +533,8 @@ class FreeHunch(ConditioningMechanism):
                                  stall_iters=self.cg_stall_iters,
                                  cov_dct_diag=cov_dct_diag,
                                  rtol_floor=self.rtol_floor,
-                                 track_best=self.cg_track_best)
+                                 track_best=self.cg_track_best,
+                                 cg_coords=self.cg_coords)
 
         if self.use_analytic_var_at_end:
             # low-sigma analytic-variance override (reference :273-278); only
