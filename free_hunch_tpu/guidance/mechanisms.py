@@ -519,8 +519,12 @@ class FreeHunch(ConditioningMechanism):
         cov_vbar = (jnp.sum(cov.diag, axis=-1) + lr_trace) / d_dim
         # DCT bases: the state's diagonal is a per-frequency variance —
         # feed it to the spectral preconditioner (the scalar mean is off by
-        # orders of magnitude across the dct prior's spectrum)
-        cov_dct_diag = (cov.diag if self.image_base_covariance.startswith("dct")
+        # orders of magnitude across the dct prior's spectrum). The exact
+        # diagonal including the active BFGS columns (diag + diag(U M U^T),
+        # 2Kd flops) tightens the model once space updates start landing.
+        from free_hunch_tpu.ops import lowrank as _lr
+        cov_dct_diag = (jax.vmap(_lr.diag_of)(cov)
+                        if self.image_base_covariance.startswith("dct")
                         else None)
 
         def cov_mat(_):

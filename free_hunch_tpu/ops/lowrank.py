@@ -79,6 +79,13 @@ def matvec(rep: LowRank, v: jnp.ndarray) -> jnp.ndarray:
     return rep.diag[:, None] * v + core
 
 
+def diag_of(rep: LowRank) -> jnp.ndarray:
+    """Exact diagonal of the represented matrix:
+    diag(A)_i = a_i + sum_{jk} U_ij M_jk U_ik = a_i + sum_j Ut_ji (M Ut)_ji.
+    2·K·d FLOPs — cheap enough to recompute per guidance call."""
+    return rep.diag + jnp.einsum("kd,kd->d", rep.Ut, rep.M @ rep.Ut)
+
+
 def _sym(a: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (a + a.T)
 

@@ -116,3 +116,10 @@ def test_ops_are_jittable_and_vmappable():
     inv = jax.jit(jax.vmap(lowrank.inverse))(reps)
     assert inv.Ut.shape == (3, 8, 12)
     assert inv.U.shape == (3, 12, 8)  # math-orientation view property
+
+
+def test_diag_of_matches_dense():
+    rep = _random_rep(jax.random.PRNGKey(7))
+    np.testing.assert_allclose(lowrank.diag_of(rep),
+                               np.diag(np.asarray(lowrank.dense(rep))),
+                               rtol=1e-12, atol=1e-12)
