@@ -76,7 +76,11 @@ def main():
         data_dim=3 * res * res, cov_capacity=cov_k,
         solver_type="customcuda", max_rtol=float(os.environ.get("BENCH_MAX_RTOL", 1.0)),
         cg_maxiter=int(os.environ.get("BENCH_CG_MAXITER", 5000)),
-        cg_coords=os.environ.get("BENCH_CG_COORDS", "auto"))
+        cg_coords=os.environ.get("BENCH_CG_COORDS", "auto"),
+        # BENCH_GRAD=covariance: Sigma_0 mat / sigma^2 instead of the UNet
+        # vjp pullback (the reference's :283 alternative) — no pullback pass,
+        # no vjp residual memory
+        guidance_gradient=os.environ.get("BENCH_GRAD", "vjp"))
 
     # BENCH_DONATE=1: donate the noise/y input buffers (the output x aliases
     # noise's allocation). Worth ~2x batch*3*res^2*4 bytes of HBM — enough to

@@ -56,7 +56,8 @@ _MECH_KEYS = dict(
                        "use_analytical_score_time_update", "project_to_diagonal",
                        "space_step_update_threshold",
                        "space_step_update_lower_threshold", "do_space_updates",
-                       "use_analytic_var_at_end", "solver_type", "cg_coords"),
+                       "use_analytic_var_at_end", "solver_type", "cg_coords",
+                       "guidance_gradient"),
     diffpir=("diffpir_lambda",),
 )
 

@@ -345,6 +345,17 @@ class FreeHunch(ConditioningMechanism):
     # H(s') H(s)^-1 evaluation, kept for bit-level reference A/B where the
     # comparison must share the reference's rounding behaviour).
     transport_formula: str = "telescoped"
+    # Guidance-gradient operator. 'vjp' (reference default) computes
+    # sigma^2 * J^T mat via an autograd pullback through the denoiser — a
+    # second ~2.57x-FLOP pass whose HLO temps dominate HBM (9.1G at batch 8).
+    # 'covariance' uses the paper's own estimate instead: Sigma_0 mat /
+    # sigma^2 — the reference carries this exact expression as a
+    # commented-out primary alternative (conditioning_mechanisms.py:283) and
+    # as its large-update fallback (:285-288). By Tweedie Sigma_0 =
+    # sigma^2 * J, so the two agree exactly when the covariance estimate is
+    # exact (it is, for Gaussian data under time updates); no pullback is
+    # traced, so the vjp FLOPs and residual memory disappear entirely.
+    guidance_gradient: str = "vjp"
     # (data_axis, model_axis) mesh-axis names for sharding the covariance
     # state inside the guided step: diag/U shard their d dimension over
     # ``model_axis`` (the >256px scaling path — the (d, K) factors outgrow
@@ -442,7 +453,13 @@ class FreeHunch(ConditioningMechanism):
         # downcasting `mat` via torch.Tensor() before the autograd pullback)
         x_net = x_t.astype(jnp.float32)
         sigma_net = jnp.asarray(sigma, jnp.float32)
-        x0, _, pullback = _denoise_with_vjp(denoise, x_net, sigma_net)
+        if self.guidance_gradient == "covariance":
+            # plain forward: no pullback is traced, so neither the vjp FLOPs
+            # nor its residual memory exist in the compiled graph
+            x0, _ = denoise(x_net, sigma_net)
+            pullback = None
+        else:
+            x0, _, pullback = _denoise_with_vjp(denoise, x_net, sigma_net)
         adt = self._adt
         sigma = jnp.asarray(sigma, adt)
         x_t = x_t.astype(adt)
@@ -564,15 +581,24 @@ class FreeHunch(ConditioningMechanism):
         # (5) guidance gradient: vjp of mat through the UNet, with the
         # large-update fallback Sigma_0 mat / sigma^2 (reference :280-288).
         # mat is downcast to f32 for the pullback exactly as the reference's
-        # torch.Tensor() conversion does before autograd.grad.
-        mat_f32 = jax.lax.stop_gradient(mat).astype(jnp.float32)
-        grad = pullback(mat_f32)
-        upd_std = jnp.std((grad * sigma_net**2).reshape(grad.shape[0], -1), axis=-1)
-        fallback = (self.cov_matvec_pixel(cov, jax.lax.stop_gradient(mat))
-                    / sigma**2).astype(jnp.float32)
-        use_fb = jnp.logical_and(jnp.logical_not(analytic_case),
-                                 upd_std > self.denoiser_mean_error_threshold)
-        grad = jnp.where(use_fb[:, None, None, None], fallback, grad)
+        # torch.Tensor() conversion does before autograd.grad. In
+        # guidance_gradient='covariance' mode the Sigma_0 product IS the
+        # gradient (reference's commented-out alternative :283).
+        mat_sg = jax.lax.stop_gradient(mat)
+        fallback = (self.cov_matvec_pixel(cov, mat_sg) / sigma**2).astype(jnp.float32)
+        if self.guidance_gradient == "covariance":
+            grad = fallback
+            if self.use_analytic_var_at_end:
+                # in the low-sigma analytic regime mat was solved against
+                # var*I, so the matching covariance product is var*mat/sigma^2
+                analytic_grad = (var * mat_sg / sigma**2).astype(jnp.float32)
+                grad = jnp.where(analytic_case, analytic_grad, grad)
+        else:
+            grad = pullback(mat_sg.astype(jnp.float32))
+            upd_std = jnp.std((grad * sigma_net**2).reshape(grad.shape[0], -1), axis=-1)
+            use_fb = jnp.logical_and(jnp.logical_not(analytic_case),
+                                     upd_std > self.denoiser_mean_error_threshold)
+            grad = jnp.where(use_fb[:, None, None, None], fallback, grad)
         update = grad * self.cond_scaling * sigma_net**2
         if self.guidance_update_bound is not None:
             gb = float(self.guidance_update_bound)
