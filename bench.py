@@ -80,7 +80,8 @@ def main():
         # BENCH_GRAD=covariance: Sigma_0 mat / sigma^2 instead of the UNet
         # vjp pullback (the reference's :283 alternative) — no pullback pass,
         # no vjp residual memory
-        guidance_gradient=os.environ.get("BENCH_GRAD", "vjp"))
+        guidance_gradient=os.environ.get("BENCH_GRAD", "vjp"),
+        guidance_vjp_below=float(os.environ.get("BENCH_VJP_BELOW", 2.0)))
 
     # BENCH_DONATE=1: donate the noise/y input buffers (the output x aliases
     # noise's allocation). Worth ~2x batch*3*res^2*4 bytes of HBM — enough to

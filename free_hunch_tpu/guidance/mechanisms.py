@@ -355,7 +355,15 @@ class FreeHunch(ConditioningMechanism):
     # sigma^2 * J, so the two agree exactly when the covariance estimate is
     # exact (it is, for Gaussian data under time updates); no pullback is
     # traced, so the vjp FLOPs and residual memory disappear entirely.
+    # 'hybrid' runs the vjp only when sigma < guidance_vjp_below and the
+    # covariance product elsewhere: the forward still produces the pullback
+    # closure (residuals are forward byproducts) but the transpose pass
+    # executes inside a lax.cond, so its time is paid only on the low-sigma
+    # fraction of the schedule (GMM measurement: the covariance product is
+    # vjp-grade outside the regime where the posterior is multimodal at
+    # scale sigma — see design.md §8).
     guidance_gradient: str = "vjp"
+    guidance_vjp_below: float = 1.0
     # (data_axis, model_axis) mesh-axis names for sharding the covariance
     # state inside the guided step: diag/U shard their d dimension over
     # ``model_axis`` (the >256px scaling path — the (d, K) factors outgrow
@@ -445,6 +453,10 @@ class FreeHunch(ConditioningMechanism):
     # -- the guidance update --------------------------------------------------
 
     def x0_mean_update(self, denoise, x_t, y, sigma, state: FreeHunchState):
+        if self.guidance_gradient not in ("vjp", "covariance", "hybrid"):
+            raise ValueError(f"unknown guidance_gradient "
+                             f"{self.guidance_gradient!r} "
+                             f"(vjp | covariance | hybrid)")
         img_shape = x_t.shape[1:]
         state = state._replace(cov=self._constrain_cov(state.cov))
         # the denoiser and its guidance vjp always run in f32; only the
@@ -459,6 +471,10 @@ class FreeHunch(ConditioningMechanism):
             x0, _ = denoise(x_net, sigma_net)
             pullback = None
         else:
+            # vjp and hybrid: the pullback closure rides out of the forward
+            # (residuals are forward byproducts); hybrid EXECUTES it only
+            # inside the lax.cond at step (5), so the transpose pass runs
+            # on the low-sigma steps alone
             x0, _, pullback = _denoise_with_vjp(denoise, x_net, sigma_net)
         adt = self._adt
         sigma = jnp.asarray(sigma, adt)
@@ -593,6 +609,10 @@ class FreeHunch(ConditioningMechanism):
                 # var*I, so the matching covariance product is var*mat/sigma^2
                 analytic_grad = (var * mat_sg / sigma**2).astype(jnp.float32)
                 grad = jnp.where(analytic_case, analytic_grad, grad)
+        elif self.guidance_gradient == "hybrid":
+            grad = jax.lax.cond(sigma_net < self.guidance_vjp_below,
+                                pullback, lambda m32: fallback,
+                                mat_sg.astype(jnp.float32))
         else:
             grad = pullback(mat_sg.astype(jnp.float32))
             upd_std = jnp.std((grad * sigma_net**2).reshape(grad.shape[0], -1), axis=-1)

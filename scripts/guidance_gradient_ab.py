@@ -77,6 +77,11 @@ def main():
     configs = {
         "vjp": dict(base, guidance_gradient="vjp", batch=batch),
         "covariance": dict(base, guidance_gradient="covariance", batch=batch),
+        # pullback only below sigma=2 (the GMM measurement puts the
+        # covariance product at vjp-grade wherever the posterior is not
+        # multimodal at scale sigma); the transpose pass sits in a lax.cond
+        "hybrid": dict(base, guidance_gradient="hybrid",
+                       guidance_vjp_below=2.0, batch=batch),
     }
     if big_batch:
         configs["covariance_b%d" % big_batch] = dict(

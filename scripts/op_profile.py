@@ -146,7 +146,8 @@ def main():
             image_base_covariance="dct_diagonal",
             init_denoiser_variance=1.0, init_noise_variance=80.0**2,
             data_dim=3 * res * res, cov_capacity=required_cov_capacity(xs),
-            solver_type="customcuda", max_rtol=1.0, cg_maxiter=5000)
+            solver_type="customcuda", max_rtol=1.0, cg_maxiter=5000,
+            guidance_gradient=os.environ.get("OP_GRAD", "vjp"))
 
         @jax.jit
         def fn(p, noise, y, k):

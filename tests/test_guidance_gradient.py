@@ -89,6 +89,27 @@ def test_gaussian_data_covariance_equals_vjp():
         assert np.abs(np.cov(s.T) - post_cov).max() < 0.3 * np.abs(post_cov).max() + 0.05
 
 
+def test_hybrid_gradient_bimodal_recovers_vjp_quality():
+    """hybrid with the vjp active through the mode-interaction regime
+    (sigma < 5 covers the ~4.5 mode separation here) must pass the SAME
+    thresholds as the vjp golden test — the threshold sweep measured
+    w2/spread: cov [0.27, 1.11], hyb2 [0.12, 0.38], hyb5 [0.08, 0.12]
+    vs vjp [0.07, 0.12] (design.md §8)."""
+    gmm = _bimodal_gmm()
+    mask = np.array([0.0, 1.0], np.float32)
+    y = np.array([0.0, 0.4], np.float32)
+
+    samples, posterior = sample_gmm_posterior(
+        gmm, mask, y, 0.8, n=4096, num_steps=50,
+        mechanism_kwargs=dict(guidance_gradient="hybrid",
+                              guidance_vjp_below=5.0))
+    exact = np.asarray(posterior.sample(jax.random.PRNGKey(7), (4096,)))
+    for d in range(2):
+        w2 = _w2_1d(samples[:, d], exact[:, d])
+        spread = exact[:, d].std()
+        assert w2 < 0.25 * spread + 0.1, (d, w2, spread)
+
+
 def _w2_1d(a: np.ndarray, b: np.ndarray) -> float:
     n = min(len(a), len(b))
     qa = np.sort(a)[np.linspace(0, len(a) - 1, n).astype(int)]

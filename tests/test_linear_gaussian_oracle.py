@@ -1,0 +1,79 @@
+"""Image-scale exact-posterior oracle: the full production pipeline
+(FreeHunch dct_diagonal covariance + tailored CG + EDM Heun scan + FFT blur
+operator) must reproduce the CLOSED-FORM Gaussian posterior of a linear
+inverse problem with a DCT-diagonal Gaussian prior — in both guidance
+gradient modes (Tweedie: sigma^2 J = Sigma_0 exactly, so the covariance
+product and the vjp coincide for Gaussian data).
+
+This is the imaging analogue of the GMM golden test: it exercises the DCT
+basis, d=3072 dimensionality, and the real measurement operators, none of
+which the 2-D GMM can reach. Measured levels (n=256, 40 Heun steps):
+mean |z| max ~0.25 (the n=256 sample-mean noise floor), posterior-variance
+trace ratio 1.17 (vjp) / 1.20 (covariance) — the shared inflation is ODE
+discretisation bias, not a covariance defect.
+"""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from free_hunch_tpu.analysis.linear_gaussian import (
+    dense_operator_matrix, exact_posterior, idct_basis_matrix,
+    make_smooth_spectrum, sample_linear_gaussian_posterior)
+
+SHAPE = (3, 32, 32)
+OPERATOR = dict(name="gaussian_blur", kernel_size=9, intensity=1.5)
+SIGMA_Y = 0.1
+
+
+def _run(mode):
+    v = make_smooth_spectrum(SHAPE, decades=4.0, v_max=30.0)
+    with tempfile.TemporaryDirectory() as td:
+        samples, y, op, _ = sample_linear_gaussian_posterior(
+            v, img_shape=SHAPE, operator_kwargs=OPERATOR, sigma_y=SIGMA_Y,
+            data_dir=td, n=256, num_steps=40,
+            mechanism_kwargs=dict(guidance_gradient=mode))
+    A = dense_operator_matrix(op, SHAPE)
+    B = idct_basis_matrix(SHAPE)
+    mu, Sig = exact_posterior(A, B, v, y, SIGMA_Y)
+
+    m = samples.mean(0)
+    post_std = np.sqrt(np.diag(Sig))
+    z = (m - mu) / np.maximum(post_std, 1e-8)
+    centered = (B.T @ (samples - m).T).T
+    var_got = centered.var(0)
+    var_exact = np.diag(B.T @ Sig @ B)
+    ratio = var_got / np.maximum(var_exact, 1e-12)
+    return dict(
+        z_max=float(np.abs(z).max()),
+        z_median=float(np.median(np.abs(z))),
+        mean_rel_l2=float(np.linalg.norm(m - mu) / np.linalg.norm(mu)),
+        var_ratio_median=float(np.median(ratio)),
+        trace_ratio=float(var_got.sum() / var_exact.sum()))
+
+
+@pytest.fixture(scope="module")
+def stats():
+    return {mode: _run(mode) for mode in ("vjp", "covariance")}
+
+
+@pytest.mark.parametrize("mode", ["vjp", "covariance"])
+def test_posterior_moments_match_exact(stats, mode):
+    s = stats[mode]
+    # mean: per-coordinate z-scores at the n=256 sample-noise floor
+    assert s["z_max"] < 0.5, s
+    assert s["z_median"] < 0.12, s
+    assert s["mean_rel_l2"] < 0.15, s
+    # covariance: per-DCT-coordinate variances within the measured
+    # discretisation-bias band
+    assert 0.8 < s["var_ratio_median"] < 1.4, s
+    assert 0.75 < s["trace_ratio"] < 1.4, s
+
+
+def test_covariance_mode_matches_vjp_mode(stats):
+    """The Tweedie equivalence at image scale: both modes land on the same
+    posterior statistics (the shared trace inflation is pipeline bias)."""
+    a, b = stats["vjp"], stats["covariance"]
+    assert abs(a["trace_ratio"] - b["trace_ratio"]) < 0.15, (a, b)
+    assert abs(a["mean_rel_l2"] - b["mean_rel_l2"]) < 0.05, (a, b)
