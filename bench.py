@@ -46,11 +46,20 @@ def main():
     log(f"devices: {jax.devices()}")
     log(f"batch={batch} steps={num_steps} res={res}")
 
+    # hybrid guidance REQUIRES the remat'd UNet: without jax.checkpoint the
+    # pullback's residuals (every forward activation) must cross the lax.cond
+    # boundary — measured 44G of HBM at batch 8 (vs 15.75G capacity). With
+    # remat only block boundaries cross; the recompute runs inside the taken
+    # branch only.
+    remat = (os.environ.get("BENCH_REMAT", "0") == "1"
+             or os.environ.get("BENCH_GRAD") == "hybrid")
+    if remat and os.environ.get("BENCH_REMAT", "0") != "1":
+        log("BENCH_GRAD=hybrid forces remat=True (cond-boundary residuals)")
     model, params, model_args = load_model(
         "models/256x256_diffusion_uncond.pt",
         "models/256x256_diffusion_uncond_setup.txt",
         dtype=jnp.bfloat16, init_random_if_missing=True,
-        remat=os.environ.get("BENCH_REMAT", "0") == "1")
+        remat=remat)
     precond = wrap_precond(model, model_args, "linear")
 
     op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),

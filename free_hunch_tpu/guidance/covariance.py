@@ -45,6 +45,17 @@ class CovParams(NamedTuple):
     # keeps Sigma_0 PSD). The reference appends unconditionally (:261-284) —
     # disable for bit-level A/B against it.
     curvature_guard: bool = True
+    # Secant-novelty floor (active only with curvature_guard; 0 disables):
+    # skip the pair when ||de - Sigma dx|| <= tau * max(||de||, ||Sigma dx||),
+    # i.e. the state already satisfies the secant equation. The exact BFGS
+    # update is then ZERO — appending it only stores a near-cancelling
+    # +/- rank-1 pair with O(1/(dx^T Sigma dx)) inner weights whose f32
+    # round-off random-walks the state. Measured on the linear-Gaussian
+    # oracle: at 80 Heun steps the sigma in (5,10) pairs are all
+    # no-information (the time-updated state is already exact there) and
+    # without this guard the run diverges (max|x| 6 -> 480); see
+    # tests/test_linear_gaussian_oracle.py and design.md §8.
+    secant_novelty_min: float = 0.02
 
 
 def init_state(init_denoiser_variance: jnp.ndarray, data_dim: int, capacity: int,
@@ -181,6 +192,13 @@ def space_update(cov: LowRank, sigma, x: jnp.ndarray, x_next: jnp.ndarray,
         # would make Sigma_0 indefinite. Skipping such pairs is the standard
         # BFGS rule.
         valid = jnp.logical_and(dxde > tiny, dxsv > tiny)
+        if params.secant_novelty_min > 0:
+            # no-information pairs (state already satisfies the secant):
+            # the exact update is zero — appending it only injects round-off
+            res2 = jnp.sum((de - sv) ** 2)
+            floor2 = params.secant_novelty_min ** 2 * jnp.maximum(
+                jnp.sum(de * de), jnp.sum(sv * sv))
+            valid = jnp.logical_and(valid, res2 > floor2)
     else:
         # reference behaviour: append regardless of sign (only exact zeros
         # are skipped — they would divide to inf)

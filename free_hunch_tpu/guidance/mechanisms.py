@@ -310,6 +310,13 @@ class FreeHunch(ConditioningMechanism):
     # keeps Sigma_0 PSD; the reference appends unconditionally) — disable for
     # bit-level reference A/B
     bfgs_curvature_guard: bool = True
+    # skip BFGS pairs the state already explains (||de - Sigma dx|| below
+    # this fraction of the secant magnitude): the exact update is zero and
+    # appending only stores a near-cancelling +/- pair whose round-off
+    # random-walks the state (diverges at fine step counts — measured on the
+    # linear-Gaussian oracle, design.md §8). Active only with the curvature
+    # guard; 0 disables (reference A/B).
+    bfgs_secant_novelty_min: float = 0.02
     # Elementwise bound on the guidance update sigma^2 * grad (robustness
     # knob): a near-singular estimated covariance can make one CG solve blow
     # up a single chain; bounding the per-call update keeps that chain sane
@@ -361,7 +368,10 @@ class FreeHunch(ConditioningMechanism):
     # executes inside a lax.cond, so its time is paid only on the low-sigma
     # fraction of the schedule (GMM measurement: the covariance product is
     # vjp-grade outside the regime where the posterior is multimodal at
-    # scale sigma — see design.md §8).
+    # scale sigma — see design.md §8). hybrid REQUIRES a rematerialised
+    # (jax.checkpoint) denoiser on real models: the pullback residuals cross
+    # the cond boundary, and without remat that is every forward activation
+    # (measured 44G HBM at 256px batch 8 vs 9.3G for plain vjp).
     guidance_gradient: str = "vjp"
     guidance_vjp_below: float = 1.0
     # (data_axis, model_axis) mesh-axis names for sharding the covariance
@@ -530,7 +540,8 @@ class FreeHunch(ConditioningMechanism):
             def space(cov_in):
                 params = cov_mod.CovParams(
                     project_to_diagonal=self.project_to_diagonal,
-                    curvature_guard=self.bfgs_curvature_guard)
+                    curvature_guard=self.bfgs_curvature_guard,
+                    secant_novelty_min=self.bfgs_secant_novelty_min)
                 return jax.vmap(cov_mod.space_update,
                                 in_axes=(0, None, 0, 0, 0, 0, None))(
                     cov_in, sigma, prev_x_b, self._to_basis(x_t),

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,6 +35,16 @@ def dct_matrix(n: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(_dct_matrix_np(n), dtype=dtype)
 
 
+# Basis transforms run at HIGHEST matmul precision: the TPU's default f32
+# matmul decomposes into bf16 passes (~1e-3 relative error), and a DCT basis
+# change feeds the BFGS secant pairs — at fine step counts the resulting
+# noise in no-information pairs random-walks the covariance state (measured:
+# the 80-step linear-Gaussian oracle is stable on CPU f32 and diverges on
+# TPU at default precision). These are (256, 256) matmuls; full-precision
+# passes cost ~3x on a negligible fraction of step time.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def dct_2d(x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
     """Type-II DCT over the last two axes (norm='ortho' only)."""
     assert norm == "ortho"
@@ -41,8 +52,8 @@ def dct_2d(x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
     ch = dct_matrix(h, x.dtype)
     cw = dct_matrix(w, x.dtype)
     # C_h @ x @ C_w^T on the trailing axes.
-    y = jnp.einsum("km,...mw->...kw", ch, x)
-    return jnp.einsum("...kw,lw->...kl", y, cw)
+    y = jnp.einsum("km,...mw->...kw", ch, x, precision=_PREC)
+    return jnp.einsum("...kw,lw->...kl", y, cw, precision=_PREC)
 
 
 def idct_2d(x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
@@ -51,15 +62,15 @@ def idct_2d(x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
     h, w = x.shape[-2], x.shape[-1]
     ch = dct_matrix(h, x.dtype)
     cw = dct_matrix(w, x.dtype)
-    y = jnp.einsum("mk,...mw->...kw", ch, x)  # C_h^T @ x
-    return jnp.einsum("...kw,wl->...kl", y, cw)  # ... @ C_w
+    y = jnp.einsum("mk,...mw->...kw", ch, x, precision=_PREC)  # C_h^T @ x
+    return jnp.einsum("...kw,wl->...kl", y, cw, precision=_PREC)  # ... @ C_w
 
 
 def dct_1d(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Orthonormal DCT-II along one axis."""
     x = jnp.moveaxis(x, axis, -1)
     c = dct_matrix(x.shape[-1], x.dtype)
-    y = jnp.einsum("...m,km->...k", x, c)
+    y = jnp.einsum("...m,km->...k", x, c, precision=_PREC)
     return jnp.moveaxis(y, -1, axis)
 
 
@@ -67,5 +78,5 @@ def idct_1d(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Orthonormal DCT-III (inverse DCT-II) along one axis."""
     x = jnp.moveaxis(x, axis, -1)
     c = dct_matrix(x.shape[-1], x.dtype)
-    y = jnp.einsum("...m,mk->...k", x, c)
+    y = jnp.einsum("...m,mk->...k", x, c, precision=_PREC)
     return jnp.moveaxis(y, -1, axis)

@@ -30,11 +30,27 @@ Equivalences are tested against dense linear algebra in
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _highest_precision(fn):
+    """Run the wrapped op's matmuls at full f32 precision. The TPU default
+    decomposes f32 matmuls into bf16 passes (~1e-3 relative error); the
+    covariance state algebra feeds the BFGS recursion, where that noise
+    accumulates across steps (measured: the 80-step linear-Gaussian oracle
+    is stable on CPU f32 and diverged on TPU at default precision). These
+    are (K, d) / (K, K) ops — full-precision passes are a negligible
+    fraction of step time."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
 
 
 class LowRank(NamedTuple):
@@ -71,6 +87,7 @@ def init(diag: jnp.ndarray, capacity: int) -> LowRank:
     )
 
 
+@_highest_precision
 def matvec(rep: LowRank, v: jnp.ndarray) -> jnp.ndarray:
     """(diag(a) + U M U^T) @ v for v of shape (d,) or (d, m)."""
     core = rep.Ut.T @ (rep.M @ (rep.Ut @ v))
@@ -79,6 +96,7 @@ def matvec(rep: LowRank, v: jnp.ndarray) -> jnp.ndarray:
     return rep.diag[:, None] * v + core
 
 
+@_highest_precision
 def diag_of(rep: LowRank) -> jnp.ndarray:
     """Exact diagonal of the represented matrix:
     diag(A)_i = a_i + sum_{jk} U_ij M_jk U_ik = a_i + sum_j Ut_ji (M Ut)_ji.
@@ -95,6 +113,7 @@ def _inv_sym(a: jnp.ndarray) -> jnp.ndarray:
     return _sym(jnp.linalg.inv(a))
 
 
+@_highest_precision
 def inverse(rep: LowRank) -> LowRank:
     """Woodbury: (D + U M U^T)^-1 = D^-1 + (D^-1 U) Mi (D^-1 U)^T with
     Mi = -(M^-1 + U^T D^-1 U)^-1. Inactive columns stay zero; the inactive
@@ -122,11 +141,13 @@ def affine(rep: LowRank, alpha, beta) -> LowRank:
                    k=rep.k)
 
 
+@_highest_precision
 def dense(rep: LowRank) -> jnp.ndarray:
     """Materialise the full matrix (tests / tiny dims only)."""
     return jnp.diag(rep.diag) + rep.Ut.T @ rep.M @ rep.Ut
 
 
+@_highest_precision
 def compress(rep: LowRank, target_rank: int) -> LowRank:
     """Optimal rank truncation of the low-rank part: keep the ``target_rank``
     eigen-directions of U M U^T with the largest |eigenvalue|.

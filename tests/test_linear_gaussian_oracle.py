@@ -77,3 +77,22 @@ def test_covariance_mode_matches_vjp_mode(stats):
     a, b = stats["vjp"], stats["covariance"]
     assert abs(a["trace_ratio"] - b["trace_ratio"]) < 0.15, (a, b)
     assert abs(a["mean_rel_l2"] - b["mean_rel_l2"]) < 0.05, (a, b)
+
+
+def test_fine_schedule_stability():
+    """Regression guard for the round-3 fine-schedule divergence (design.md
+    §9): at 80+ Heun steps most in-window BFGS pairs carry no information
+    (the time-updated state already satisfies the secant), and appending
+    them under reduced-precision matmuls random-walked the state to
+    max|x| ~ 4e5 on TPU. Fixed by full-precision state algebra
+    (ops/dct.py, ops/lowrank.py) + the secant-novelty guard
+    (bfgs_secant_novelty_min). This run must stay at sane magnitudes."""
+    v = make_smooth_spectrum(SHAPE, decades=4.0, v_max=30.0)
+    with tempfile.TemporaryDirectory() as td:
+        samples, _, _, _ = sample_linear_gaussian_posterior(
+            v, img_shape=SHAPE, operator_kwargs=OPERATOR, sigma_y=SIGMA_Y,
+            data_dir=td, n=32, num_steps=80,
+            mechanism_kwargs=dict(guidance_gradient="vjp", cov_capacity=16))
+    assert np.isfinite(samples).all()
+    assert np.abs(samples).max() < 20.0, np.abs(samples).max()
+    assert 0.5 < samples.std() < 3.0, samples.std()
