@@ -150,6 +150,7 @@ class Evaluator:
             self._run_batch = jax.jit(self._batch_fn)
             self._install_codecs()
             self._lpips = lpips_fn("vgg")
+            self._install_fid()
             return
         mech_cls = choose_conditioning_mechanism(mech_name)
         mkw = dict(cond_scaling=opts.get("cond_scaling", 1.0),
@@ -176,6 +177,46 @@ class Evaluator:
         self._run_batch = jax.jit(self._batch_fn)
         self._install_codecs()
         self._lpips = lpips_fn("vgg")
+        self._install_fid()
+
+    def _install_fid(self):
+        """Optional FID accumulation against precomputed reference stats
+        (``--fid_ref_stats=stats.npz`` from scripts/compute_fid_stats.py).
+        The reference repo computes no FID (its ref_stats_name key is an EDM
+        vestige); the paper reports it, so the driver can."""
+        self._fid = None
+        path = self.opts.get("fid_ref_stats")
+        if not path:
+            return
+        from free_hunch_tpu.metrics import fid as fid_mod
+        extract, is_proxy = fid_mod.make_extractor()
+        self._fid = dict(mod=fid_mod, extract=extract, is_proxy=is_proxy,
+                         stats=fid_mod.FeatureStats(), ref=path)
+        if is_proxy:
+            logger.warning("FID_WEIGHTS not set: FID uses deterministic "
+                           "random Inception features (fid_is_proxy=true; "
+                           "not comparable to published numbers)")
+
+    def _fid_add_u8(self, images_u8: np.ndarray):
+        feats = self._fid["extract"](
+            jnp.asarray(images_u8, jnp.float32) / 127.5 - 1.0)
+        self._fid["stats"].add(np.asarray(feats))
+
+    def _fid_replay_ok(self, outdir: str, batch_id: str) -> bool:
+        """On resume, FID features of journaled batches are re-extracted from
+        the saved PNGs (metric journals hold only scalar means). Returns False
+        — forcing full recomputation — when any image is missing (e.g.
+        pruned), so the FID stream stays complete."""
+        if self._fid is None:
+            return True
+        paths = [os.path.join(outdir, "images", f"{n}.png")
+                 for n in batch_id.split("|")]
+        if not all(os.path.exists(p) for p in paths):
+            return False
+        imgs = np.stack([np.asarray(PIL.Image.open(p).convert("RGB"))
+                         .transpose(2, 0, 1) for p in paths])
+        self._fid_add_u8(imgs)
+        return True
 
     def _cov_capacity(self, opts) -> int:
         """'auto' (default): exact schedule-derived capacity (see
@@ -252,7 +293,29 @@ class Evaluator:
         n_seeds = len(self.seeds)
         acc = MetricAccumulator("psnr", "ssim", "lpips")
         n_batches = 0
+        n_resumed = 0
         t0 = time.time()
+
+        # --- sample-level resume (beyond the reference: SURVEY.md §5 notes a
+        # crash loses the run and a rerun regenerates everything). Each
+        # process journals completed batches to metrics_rank*.jsonl (written
+        # AFTER the batch's images are saved, so a record implies artifacts
+        # on disk); --resume=true replays journal records instead of
+        # recomputing, and the RNG stream stays aligned because skipped
+        # batches advance n_batches exactly like computed ones.
+        journal_path = os.path.join(outdir,
+                                    f"metrics_rank{self.rank:02d}.jsonl")
+        resume = bool(opts.get("resume", False))
+        done = {}
+        if resume and os.path.exists(journal_path):
+            with open(journal_path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                        done[rec["batch"]] = rec
+                    except (ValueError, KeyError):
+                        pass  # truncated tail record from a crash
+        journal = open(journal_path, "a" if resume else "w")
 
         for start in range(0, len(self.indices), self.batch_size):
             idx_chunk = self.indices[start:start + self.batch_size]
@@ -262,6 +325,17 @@ class Evaluator:
                 imgs.append(img)
                 gidx.append(int(di))
                 labs.append(lab)
+            batch_id = "|".join(f"{g:06d}_{s:06d}" for g in gidx
+                                for s in self.seeds)
+            if batch_id in done and self._fid_replay_ok(outdir, batch_id):
+                rec = done[batch_id]
+                acc.add(int(rec["n"]), psnr=rec["psnr"], ssim=rec["ssim"],
+                        lpips=rec["lpips"])
+                n_batches += 1
+                n_resumed += 1
+                logger.info(f"batch {n_batches}: resumed from journal "
+                            f"(psnr={rec['psnr']:.3f})")
+                continue
             cond_u8 = np.stack(imgs)  # (b, C, H, W) uint8
             cond_rep = np.repeat(cond_u8, n_seeds, axis=0)
             cond_latents = self._encode(jnp.asarray(cond_rep))
@@ -316,23 +390,54 @@ class Evaluator:
             s_vals = np.asarray(s_all)
             lp = self._lpips(cond_rep.astype(np.float32) / 127.5 - 1,
                              gen_u8.astype(np.float32) / 127.5 - 1)
+            if self._fid is not None:
+                self._fid_add_u8(gen_u8)
             acc.add(gen_u8.shape[0], psnr=p, ssim=float(np.mean(s_vals)),
                     lpips=float(lp))
+            journal.write(json.dumps(dict(
+                batch=batch_id, n=int(gen_u8.shape[0]), psnr=p,
+                ssim=float(np.mean(s_vals)), lpips=float(lp))) + "\n")
+            journal.flush()
             n_batches += 1
             logger.info(f"batch {n_batches}: psnr={p:.3f} ssim={np.mean(s_vals):.4f} "
                         f"lpips={lp:.4f}")
 
+        journal.close()
         elapsed = time.time() - t0
         totals = _process_mean(acc.means(), acc.count)
         totals["time_taken"] = elapsed
         totals["images"] = len(self.indices) * n_seeds
+        totals["resumed_batches"] = n_resumed
         totals["lpips_is_proxy"] = bool(getattr(self._lpips, "is_proxy", False))
+        if self._fid is not None:
+            st = self._fid["stats"]
+            if get_world_size() > 1:
+                # merge per-process feature moments (exact: sums are additive)
+                from jax.experimental import multihost_utils
+                packed = np.concatenate([[float(st.n)], st.s, st.ss.reshape(-1)])
+                gathered = np.asarray(multihost_utils.process_allgather(packed))
+                merged = self._fid["mod"].FeatureStats(st.dim)
+                for row in gathered:
+                    merged.merge_arrays(row[0], row[1:1 + st.dim],
+                                        row[1 + st.dim:].reshape(st.dim, st.dim))
+                st = merged
+            if st.n >= 2 and os.path.exists(self._fid["ref"]):
+                totals["fid"] = self._fid["mod"].compute_fid(st, self._fid["ref"])
+                totals["fid_is_proxy"] = bool(self._fid["is_proxy"])
+                ref_blob = np.load(self._fid["ref"])
+                if "is_proxy" in ref_blob and bool(ref_blob["is_proxy"]) != bool(
+                        self._fid["is_proxy"]):
+                    logger.warning("fid_ref_stats were computed with a "
+                                   "different extractor (proxy mismatch) — "
+                                   "the FID number is not meaningful")
 
         if self.rank == 0:
             with open(os.path.join(outdir, "results.txt"), "w") as f:
                 f.write(f"PSNR: {totals['psnr']}\n")
                 f.write(f"SSIM: {totals['ssim']}\n")
                 f.write(f"LPIPS: {totals['lpips']}\n")
+                if "fid" in totals:
+                    f.write(f"FID: {totals['fid']}\n")
             with open(os.path.join(outdir, "results.json"), "w") as f:
                 json.dump(totals, f, indent=2)
             _prune_images(outdir, opts.get("num_other_images_to_save"))
