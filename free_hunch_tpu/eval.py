@@ -188,6 +188,12 @@ class Evaluator:
         path = self.opts.get("fid_ref_stats")
         if not path:
             return
+        if not os.path.exists(path):
+            # fail fast: a typo'd path must not silently drop FID from
+            # results.json after a multi-hour run
+            raise FileNotFoundError(
+                f"--fid_ref_stats={path} does not exist (build it with "
+                f"scripts/compute_fid_stats.py)")
         from free_hunch_tpu.metrics import fid as fid_mod
         extract, is_proxy = fid_mod.make_extractor()
         self._fid = dict(mod=fid_mod, extract=extract, is_proxy=is_proxy,
@@ -421,7 +427,7 @@ class Evaluator:
                     merged.merge_arrays(row[0], row[1:1 + st.dim],
                                         row[1 + st.dim:].reshape(st.dim, st.dim))
                 st = merged
-            if st.n >= 2 and os.path.exists(self._fid["ref"]):
+            if st.n >= 2:
                 totals["fid"] = self._fid["mod"].compute_fid(st, self._fid["ref"])
                 totals["fid_is_proxy"] = bool(self._fid["is_proxy"])
                 ref_blob = np.load(self._fid["ref"])
