@@ -10,6 +10,7 @@ state-dict converter; real-weight activation only needs the published
 checkpoint dropped in (zero egress here).
 """
 import math
+import os
 
 import numpy as np
 import pytest
@@ -240,6 +241,53 @@ def test_stability_encoder_wrapper(shared):
     got = np.asarray(dec).astype(np.int32)
     # uint8 truncation at f32 parity: allow off-by-one on boundary pixels
     assert np.abs(got - want.astype(np.int32)).max() <= 1
+
+
+def test_flagship_vae_layout_parity():
+    """Encode/decode parity at the REAL SD-VAE f8 layout (VAEConfig defaults:
+    block_out_channels (128,256,512,512), layers_per_block 2, groups 32 —
+    the topology of the published stabilityai/sd-vae-ft-mse checkpoint the
+    reference loads via diffusers, training/encoders.py:137-151). The
+    tests above cover a downscaled config; this exercises every tensor of
+    the real ~84M-param layout through the converter. Writes
+    docs/flagship_vae_ab.json when RUN_FLAGSHIP_AB=1."""
+    import json
+
+    cfg = VAEConfig()
+    sd = random_state_dict(cfg, seed=13)
+    params = params_from_torch_state_dict(sd, cfg)
+    vae = AutoencoderKL(cfg)
+
+    x = np.random.default_rng(5).standard_normal((1, 3, 64, 64)).astype(np.float32)
+    mean_j, std_j = jax.jit(
+        lambda p, xx: vae.apply(p, xx, method="encode"))(params, jnp.asarray(x))
+    with torch.no_grad():
+        mean_t, std_t = t_encode(torch.from_numpy(x), sd, cfg)
+    enc_err = float(np.abs(np.asarray(mean_j) - mean_t.numpy()).max())
+    np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(std_j), std_t.numpy(),
+                               rtol=5e-4, atol=2e-6)
+
+    z = np.random.default_rng(6).standard_normal((1, 4, 8, 8)).astype(np.float32)
+    out_j = jax.jit(
+        lambda p, zz: vae.apply(p, zz, method="decode"))(params, jnp.asarray(z))
+    with torch.no_grad():
+        out_t = t_decode(torch.from_numpy(z), sd, cfg)
+    dec_err = float(np.abs(np.asarray(out_j) - out_t.numpy()).max())
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=0, atol=5e-4)
+
+    if os.environ.get("RUN_FLAGSHIP_AB") != "1":
+        return
+    n_params = int(sum(int(np.prod(v.shape)) for v in sd.values()))
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "flagship_vae_ab.json")
+    with open(art, "w") as f:
+        json.dump(dict(layout="sd-vae f8 (VAEConfig defaults)",
+                       n_params=n_params, n_state_dict_keys=len(sd),
+                       input_res=64, enc_max_abs_err=enc_err,
+                       dec_max_abs_err=dec_err, agree=True), f, indent=2)
 
 
 def test_legacy_attention_naming():
