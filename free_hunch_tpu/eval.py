@@ -196,6 +196,17 @@ class Evaluator:
                 f"scripts/compute_fid_stats.py)")
         from free_hunch_tpu.metrics import fid as fid_mod
         extract, is_proxy = fid_mod.make_extractor()
+        ref_blob = np.load(path)
+        if "is_proxy" in ref_blob and bool(ref_blob["is_proxy"]) != is_proxy:
+            # fail fast: comparing features from two different networks
+            # produces a number that is not an FID of anything
+            raise ValueError(
+                f"--fid_ref_stats={path} was computed with "
+                f"{'the proxy' if bool(ref_blob['is_proxy']) else 'real'} "
+                f"Inception features but this run uses "
+                f"{'the proxy' if is_proxy else 'real'} ones — rebuild the "
+                f"stats with scripts/compute_fid_stats.py under the same "
+                f"FID_WEIGHTS setting")
         self._fid = dict(mod=fid_mod, extract=extract, is_proxy=is_proxy,
                          stats=fid_mod.FeatureStats(), ref=path)
         if is_proxy:
@@ -325,12 +336,10 @@ class Evaluator:
 
         for start in range(0, len(self.indices), self.batch_size):
             idx_chunk = self.indices[start:start + self.batch_size]
-            imgs, gidx, labs = [], [], []
-            for i in idx_chunk:
-                di, img, lab = self.dataset[int(i)]
-                imgs.append(img)
-                gidx.append(int(di))
-                labs.append(lab)
+            # the dataset returns its argument as the global index
+            # (data/dataset.py __getitem__), so batch identity needs no
+            # image decode — replayed batches skip dataset IO entirely
+            gidx = [int(i) for i in idx_chunk]
             batch_id = "|".join(f"{g:06d}_{s:06d}" for g in gidx
                                 for s in self.seeds)
             if batch_id in done and self._fid_replay_ok(outdir, batch_id):
@@ -342,6 +351,11 @@ class Evaluator:
                 logger.info(f"batch {n_batches}: resumed from journal "
                             f"(psnr={rec['psnr']:.3f})")
                 continue
+            imgs, labs = [], []
+            for i in idx_chunk:
+                _, img, lab = self.dataset[int(i)]
+                imgs.append(img)
+                labs.append(lab)
             cond_u8 = np.stack(imgs)  # (b, C, H, W) uint8
             cond_rep = np.repeat(cond_u8, n_seeds, axis=0)
             cond_latents = self._encode(jnp.asarray(cond_rep))
@@ -400,10 +414,13 @@ class Evaluator:
                 self._fid_add_u8(gen_u8)
             acc.add(gen_u8.shape[0], psnr=p, ssim=float(np.mean(s_vals)),
                     lpips=float(lp))
-            journal.write(json.dumps(dict(
-                batch=batch_id, n=int(gen_u8.shape[0]), psnr=p,
-                ssim=float(np.mean(s_vals)), lpips=float(lp))) + "\n")
-            journal.flush()
+            if batch_id not in done:  # keep the journal one-record-per-batch
+                # (a journaled batch only recomputes when its PNGs were
+                # pruned and FID needed them; the record is already present)
+                journal.write(json.dumps(dict(
+                    batch=batch_id, n=int(gen_u8.shape[0]), psnr=p,
+                    ssim=float(np.mean(s_vals)), lpips=float(lp))) + "\n")
+                journal.flush()
             n_batches += 1
             logger.info(f"batch {n_batches}: psnr={p:.3f} ssim={np.mean(s_vals):.4f} "
                         f"lpips={lp:.4f}")
@@ -418,24 +435,25 @@ class Evaluator:
         if self._fid is not None:
             st = self._fid["stats"]
             if get_world_size() > 1:
-                # merge per-process feature moments (exact: sums are additive)
+                # merge per-process feature moments (exact: sums are
+                # additive). The f64 sums must survive the gather bit-exactly,
+                # but process_allgather canonicalizes f64 arrays to f32 when
+                # jax_enable_x64 is off — ship the raw bytes as int32 instead.
                 from jax.experimental import multihost_utils
                 packed = np.concatenate([[float(st.n)], st.s, st.ss.reshape(-1)])
-                gathered = np.asarray(multihost_utils.process_allgather(packed))
+                assert packed.dtype == np.float64
+                gathered = np.asarray(multihost_utils.process_allgather(
+                    packed.view(np.int32)))
                 merged = self._fid["mod"].FeatureStats(st.dim)
-                for row in gathered:
+                for raw in gathered:
+                    row = np.ascontiguousarray(raw).view(np.float64)
                     merged.merge_arrays(row[0], row[1:1 + st.dim],
                                         row[1 + st.dim:].reshape(st.dim, st.dim))
                 st = merged
             if st.n >= 2:
+                # extractor/ref proxy consistency was enforced in _install_fid
                 totals["fid"] = self._fid["mod"].compute_fid(st, self._fid["ref"])
                 totals["fid_is_proxy"] = bool(self._fid["is_proxy"])
-                ref_blob = np.load(self._fid["ref"])
-                if "is_proxy" in ref_blob and bool(ref_blob["is_proxy"]) != bool(
-                        self._fid["is_proxy"]):
-                    logger.warning("fid_ref_stats were computed with a "
-                                   "different extractor (proxy mismatch) — "
-                                   "the FID number is not meaningful")
 
         if self.rank == 0:
             with open(os.path.join(outdir, "results.txt"), "w") as f:

@@ -192,18 +192,29 @@ def random_params(seed: int = 0) -> Dict[str, np.ndarray]:
 
 
 def load_weights(weights_path: Optional[str] = None) -> Optional[Dict[str, np.ndarray]]:
-    """Load the converted npz (env FID_WEIGHTS or explicit path); None if
-    absent or incomplete."""
+    """Load the converted npz (env FID_WEIGHTS or explicit path).
+
+    Returns None only when NO weights were configured. A configured-but-bad
+    path raises: silently swapping in the random-feature proxy would put a
+    proxy FID in a run the user believes is publication-comparable."""
     path = weights_path or os.environ.get("FID_WEIGHTS")
-    if not path or not os.path.exists(path):
+    if not path:
         return None
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"FID weights {path!r} do not exist (convert the pytorch-fid "
+            f"state_dict with metrics/fid.py::convert_torch_weights)")
     blob = np.load(path)
     raw = {}
     for name, _, _, _, _, _ in all_conv_specs():
         keys = [f"{name}.w"] + [f"{name}.bn.{k}" for k in
                                 ("weight", "bias", "running_mean", "running_var")]
-        if not all(k in blob for k in keys):
-            return None
+        missing = [k for k in keys if k not in blob]
+        if missing:
+            raise KeyError(
+                f"FID weights {path!r} are incomplete: missing {missing[0]} "
+                f"(+{len(missing) - 1} more) — regenerate with "
+                f"convert_torch_weights")
         for k in keys:
             raw[k] = np.asarray(blob[k], np.float32)
     return raw
@@ -215,11 +226,15 @@ def load_weights(weights_path: Optional[str] = None) -> Optional[Dict[str, np.nd
 
 
 def _conv(params, name, x, stride, pad):
+    # Precision.HIGHEST: TPU f32 convs default to bf16 passes (~1e-3 noise),
+    # which would make real-weight features diverge from CPU-computed
+    # reference stats and from pytorch-fid
     y = jax.lax.conv_general_dilated(
         x, params[f"{name}.w"], window_strides=(stride, stride),
         padding=(pad, pad) if isinstance(pad, int) else ((pad[0], pad[0]),
                                                          (pad[1], pad[1])),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
     return jax.nn.relu(y + params[f"{name}.b"][None, :, None, None])
 
 
@@ -308,8 +323,12 @@ def inception_features(params: Dict[str, jnp.ndarray], x: jnp.ndarray,
     """pool3 features. x: (B, 3, H, W) f32 in [-1, 1] (the TF-style range
     pytorch-fid normalises to). Returns (B, 2048)."""
     if resize and x.shape[-2:] != (299, 299):
-        # bilinear, half-pixel centers == torch interpolate align_corners=False
-        x = jax.image.resize(x, x.shape[:2] + (299, 299), method="bilinear")
+        # bilinear, half-pixel centers, NO antialiasing == pytorch-fid's
+        # F.interpolate(..., mode='bilinear', align_corners=False). jax's
+        # default antialias=True widens the kernel when DOWNscaling (>299px
+        # inputs), which torch's plain bilinear does not.
+        x = jax.image.resize(x, x.shape[:2] + (299, 299), method="bilinear",
+                             antialias=False)
     x = _conv(params, "Conv2d_1a_3x3", x, 2, (0, 0))
     x = _conv(params, "Conv2d_2a_3x3", x, 1, (0, 0))
     x = _conv(params, "Conv2d_2b_3x3", x, 1, (1, 1))

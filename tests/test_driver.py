@@ -150,7 +150,7 @@ def test_evaluator_resume(tmp_path, setup32):
     assert len(open(journal).read().splitlines()) == 2
 
 
-def test_evaluator_fid_and_resume_replay(tmp_path, setup32):
+def test_evaluator_fid_and_resume_replay(tmp_path, setup32, monkeypatch):
     """--fid_ref_stats wires FID through the driver (proxy-flagged without
     FID_WEIGHTS), and a resumed run reproduces the uninterrupted run's FID by
     re-extracting features from the saved PNGs."""
@@ -159,6 +159,7 @@ def test_evaluator_fid_and_resume_replay(tmp_path, setup32):
     from free_hunch_tpu.eval import Evaluator
     from free_hunch_tpu.metrics import fid
 
+    monkeypatch.delenv("FID_WEIGHTS", raising=False)  # force the proxy path
     # reference stats from the conditioning dataset itself
     ds = ImageFolderDataset(DATA, resolution=32, return_idx=True)
     extract, is_proxy = fid.make_extractor()

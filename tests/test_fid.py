@@ -177,14 +177,57 @@ def test_convert_round_trip():
                                   raw["Mixed_7c.branch_pool.w"])
 
 
+def test_configured_weights_fail_fast(tmp_path, monkeypatch):
+    """A configured-but-bad FID_WEIGHTS path must raise, not silently swap in
+    the random-feature proxy (which would put a proxy FID in a run the user
+    believes is publication-comparable)."""
+    monkeypatch.setenv("FID_WEIGHTS", str(tmp_path / "nope.npz"))
+    with pytest.raises(FileNotFoundError, match="FID weights"):
+        fid.load_weights()
+    # incomplete npz (one conv present, rest missing)
+    partial = str(tmp_path / "partial.npz")
+    np.savez(partial, **{"Conv2d_1a_3x3.w": np.zeros((32, 3, 3, 3), np.float32)})
+    with pytest.raises(KeyError, match="incomplete"):
+        fid.load_weights(partial)
+    # unconfigured -> proxy fallback, no raise
+    monkeypatch.delenv("FID_WEIGHTS")
+    assert fid.load_weights() is None
+
+
+def test_install_fid_rejects_proxy_mismatch(tmp_path, monkeypatch):
+    """Reference stats built with a different extractor (proxy vs real) must
+    abort at construction — the Fréchet distance between features of two
+    different networks is not an FID of anything."""
+    import jax.numpy as jnp
+    from free_hunch_tpu.eval import Evaluator
+
+    monkeypatch.delenv("FID_WEIGHTS", raising=False)
+    extract, is_proxy = fid.make_extractor()
+    assert is_proxy
+    st = fid.FeatureStats()
+    st.add(np.asarray(extract(jnp.zeros((2, 3, 32, 32), jnp.float32))))
+    ref = str(tmp_path / "real_stats.npz")
+    st.save(ref, is_proxy=False)  # claims real-weight features
+
+    ev = Evaluator.__new__(Evaluator)  # _install_fid reads only self.opts
+    ev.opts = dict(fid_ref_stats=ref)
+    with pytest.raises(ValueError, match="proxy"):
+        ev._install_fid()
+    # matching flags install cleanly
+    st.save(ref, is_proxy=True)
+    ev._install_fid()
+    assert ev._fid is not None and ev._fid["is_proxy"] is True
+
+
 @pytest.mark.slow
-def test_proxy_fid_separates_distributions():
+def test_proxy_fid_separates_distributions(monkeypatch):
     """Random-feature FID: same-distribution pairs score far below a strong
     distribution shift (the documented proxy semantics)."""
     import jax.numpy as jnp
 
+    monkeypatch.delenv("FID_WEIGHTS", raising=False)  # force the proxy path
     extract, is_proxy = fid.make_extractor()
-    assert is_proxy  # no FID_WEIGHTS in this environment
+    assert is_proxy
     rng = np.random.default_rng(0)
 
     def feats(imgs):
