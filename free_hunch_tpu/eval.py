@@ -435,21 +435,7 @@ class Evaluator:
         if self._fid is not None:
             st = self._fid["stats"]
             if get_world_size() > 1:
-                # merge per-process feature moments (exact: sums are
-                # additive). The f64 sums must survive the gather bit-exactly,
-                # but process_allgather canonicalizes f64 arrays to f32 when
-                # jax_enable_x64 is off — ship the raw bytes as int32 instead.
-                from jax.experimental import multihost_utils
-                packed = np.concatenate([[float(st.n)], st.s, st.ss.reshape(-1)])
-                assert packed.dtype == np.float64
-                gathered = np.asarray(multihost_utils.process_allgather(
-                    packed.view(np.int32)))
-                merged = self._fid["mod"].FeatureStats(st.dim)
-                for raw in gathered:
-                    row = np.ascontiguousarray(raw).view(np.float64)
-                    merged.merge_arrays(row[0], row[1:1 + st.dim],
-                                        row[1 + st.dim:].reshape(st.dim, st.dim))
-                st = merged
+                st = self._fid["mod"].allgather_merge(st)
             if st.n >= 2:
                 # extractor/ref proxy consistency was enforced in _install_fid
                 totals["fid"] = self._fid["mod"].compute_fid(st, self._fid["ref"])

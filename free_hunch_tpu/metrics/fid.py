@@ -404,6 +404,26 @@ class FeatureStats:
         np.savez(path, mu=mu, sigma=sigma, n=self.n, **extra)
 
 
+def allgather_merge(st: "FeatureStats") -> "FeatureStats":
+    """Merge per-process feature moments across the jax.distributed runtime
+    (exact: sums are additive). The f64 sums must survive the gather
+    bit-exactly, but ``process_allgather`` canonicalizes f64 arrays to f32
+    when ``jax_enable_x64`` is off — so the raw bytes ship as int32.
+    Exercised by the real 2-process test (tests/test_multiprocess.py)."""
+    from jax.experimental import multihost_utils
+
+    packed = np.concatenate([[float(st.n)], st.s, st.ss.reshape(-1)])
+    assert packed.dtype == np.float64
+    gathered = np.asarray(multihost_utils.process_allgather(
+        packed.view(np.int32)))
+    merged = FeatureStats(st.dim)
+    for raw in gathered:
+        row = np.ascontiguousarray(raw).view(np.float64)
+        merged.merge_arrays(row[0], row[1:1 + st.dim],
+                            row[1 + st.dim:].reshape(st.dim, st.dim))
+    return merged
+
+
 def load_ref_stats(path: str) -> Tuple[np.ndarray, np.ndarray]:
     blob = np.load(path)
     return np.asarray(blob["mu"], np.float64), np.asarray(blob["sigma"], np.float64)

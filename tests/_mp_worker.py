@@ -41,7 +41,27 @@ reduced = _process_mean(means, n_samples)
 
 barrier("mp_test")
 
+# cross-process FID moment merge: per-rank disjoint feature batches must
+# merge to EXACTLY the single-host accumulation over all of them (the f64
+# sums ride the gather as int32 bytes — fid.allgather_merge)
+import numpy as np
+
+from free_hunch_tpu.metrics.fid import FeatureStats, allgather_merge
+
+rng = np.random.default_rng(0)  # same stream on both ranks
+all_feats = [rng.normal(1e3, 1.0, (3, 16)) for _ in range(nproc)]
+mine = FeatureStats(16)
+mine.add(all_feats[pid])
+merged = allgather_merge(mine)
+want = FeatureStats(16)
+for f in all_feats:
+    want.add(f)
+fid_merge_exact = (merged.n == want.n
+                   and np.array_equal(merged.s, want.s)
+                   and np.array_equal(merged.ss, want.ss))
+
 with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
     json.dump({"rank": get_rank(), "world": get_world_size(),
-               "indices": my_indices.tolist(), "reduced": reduced}, f)
+               "indices": my_indices.tolist(), "reduced": reduced,
+               "fid_merge_exact": bool(fid_merge_exact)}, f)
 print(f"worker {pid} done", flush=True)

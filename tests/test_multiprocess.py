@@ -55,3 +55,7 @@ def test_two_process_distributed_cpu(tmp_path):
         assert r["reduced"]["psnr"] == pytest.approx(2.0)
         assert r["reduced"]["ssim"] == pytest.approx((3 * 0.5 + 0.9) / 4)
         assert r["reduced"]["lpips"] == pytest.approx((3 * 0.2 + 0.6) / 4)
+
+    # FID moment merge: both ranks must reconstruct the single-host sums
+    # BIT-exactly through the int32-byte allgather (fid.allgather_merge)
+    assert [r["fid_merge_exact"] for r in results] == [True, True]
