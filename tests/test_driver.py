@@ -188,6 +188,27 @@ def test_evaluator_fid_and_resume_replay(tmp_path, setup32, monkeypatch):
     assert resumed["fid"] == pytest.approx(full["fid"], rel=1e-3)
 
 
+def test_ddnm_evaluator_end_to_end(tmp_path, setup32):
+    """The DDNM+ driver path (reference entry point B,
+    generate_conditional.py:487-494 routing): full evaluation loop with the
+    SVD inpainting operator, inherited journal/resume machinery included."""
+    from free_hunch_tpu.eval_ddnm import DDNMEvaluator
+    opts = _opts(tmp_path, setup32, conditioning_mechanism="ddnm",
+                 operator_name="inpainting", num_steps=4, total_images=2,
+                 batch_size=2)
+    results = DDNMEvaluator(opts).run()
+    out = str(tmp_path / "out")
+    assert np.isfinite(results["psnr"]) and np.isfinite(results["lpips"])
+    assert results["images"] == 2
+    assert len(os.listdir(os.path.join(out, "images"))) == 2
+    # the shared journal machinery runs here too
+    journal = os.path.join(out, "metrics_rank00.jsonl")
+    assert len(open(journal).read().splitlines()) == 1
+    resumed = DDNMEvaluator(dict(opts, resume=True)).run()
+    assert resumed["resumed_batches"] == 1
+    assert resumed["psnr"] == pytest.approx(results["psnr"], abs=1e-5)
+
+
 def test_fid_ref_stats_missing_fails_fast(tmp_path, setup32):
     """A typo'd --fid_ref_stats path must abort at construction, not
     silently drop FID from results.json after a long run."""
