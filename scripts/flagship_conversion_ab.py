@@ -34,7 +34,8 @@ sys.path.append("/root/reference")  # append: repo modules win name collisions
 FLAGSHIP_SETUP = os.path.join(REPO, "models/256x256_diffusion_uncond_setup.txt")
 
 
-def run(input_res: int = 64, out_json: str | None = None) -> dict:
+def run(input_res: int = 64, out_json: str | None = None,
+        setup_file: str = FLAGSHIP_SETUP) -> dict:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import numpy as np
     import torch
@@ -52,7 +53,7 @@ def run(input_res: int = 64, out_json: str | None = None) -> dict:
     # the released checkpoint's setup, with fp16 off so both forwards run f32
     # (use_fp16 only switches the reference's activation dtype; the released
     # state dict itself is f32 master weights either way)
-    with open(FLAGSHIP_SETUP) as f:
+    with open(setup_file) as f:
         setup = f.read().replace("--use_fp16 True", "--use_fp16 False")
 
     with tempfile.TemporaryDirectory() as td:
@@ -119,7 +120,7 @@ def run(input_res: int = 64, out_json: str | None = None) -> dict:
     rel_err = float(abs_err / denom)
     cache_err = float(np.abs(jout2 - jout).max())
     result = dict(
-        setup=os.path.relpath(FLAGSHIP_SETUP, REPO),
+        setup=os.path.relpath(setup_file, REPO),
         n_params=int(n_params),
         n_state_dict_keys=len(sd),
         input_res=input_res,
@@ -140,6 +141,14 @@ def run(input_res: int = 64, out_json: str | None = None) -> dict:
 
 
 if __name__ == "__main__":
+    # both shipped model families (reference README.md:44-49)
+    results = {}
+    for key, setup in (("imagenet_256_uncond", FLAGSHIP_SETUP),
+                       ("ffhq_10m",
+                        os.path.join(REPO, "models/ffhq_10m_setup.txt"))):
+        results[key] = run(setup_file=setup)
     out = os.path.join(REPO, "docs/flagship_conversion_ab.json")
-    res = run(out_json=out)
-    sys.exit(0 if res["agree"] else 1)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out}")
+    sys.exit(0 if all(r["agree"] for r in results.values()) else 1)

@@ -15,10 +15,14 @@ pytest.importorskip("torch")
 
 @pytest.mark.skipif(os.environ.get("RUN_FLAGSHIP_AB") != "1",
                     reason="flagship-layout A/B is slow; set RUN_FLAGSHIP_AB=1")
-def test_flagship_conversion_parity():
-    from scripts.flagship_conversion_ab import run
-    res = run(input_res=64)
-    assert res["n_params"] > 5.4e8, res  # the real 552M topology
+@pytest.mark.parametrize("setup,min_params", [
+    ("models/256x256_diffusion_uncond_setup.txt", 5.4e8),  # 552M ImageNet
+    ("models/ffhq_10m_setup.txt", 5e7),                    # FFHQ family
+])
+def test_flagship_conversion_parity(setup, min_params):
+    from scripts.flagship_conversion_ab import REPO, run
+    res = run(input_res=64, setup_file=os.path.join(REPO, setup))
+    assert res["n_params"] > min_params, res
     assert res["max_rel_err"] < 2e-4, res
     assert res["npz_cache_roundtrip_err"] == 0.0, res
     assert res["agree"] is True
