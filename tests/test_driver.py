@@ -187,6 +187,20 @@ def test_evaluator_fid_and_resume_replay(tmp_path, setup32, monkeypatch):
     assert resumed["resumed_batches"] == 1
     assert resumed["fid"] == pytest.approx(full["fid"], rel=1e-3)
 
+    # pruned-PNG path: when a journaled batch's images are gone, FID cannot
+    # replay from disk — the batch must recompute (resumed_batches drops)
+    # WITHOUT duplicating its journal record, and FID must still match
+    journal2 = os.path.join(out2, "metrics_rank00.jsonl")
+    n_lines = len(open(journal2).read().splitlines())
+    victim = sorted(os.listdir(os.path.join(out2, "images")))[0]
+    os.remove(os.path.join(out2, "images", victim))
+    repaired = Evaluator(_opts(tmp_path, setup32, total_images=4, batch_size=2,
+                               outdir=out2, resume=True,
+                               fid_ref_stats=ref)).run()
+    assert repaired["resumed_batches"] == 1  # only the intact batch replays
+    assert repaired["fid"] == pytest.approx(full["fid"], rel=1e-3)
+    assert len(open(journal2).read().splitlines()) == n_lines
+
 
 def test_ddnm_evaluator_end_to_end(tmp_path, setup32):
     """The DDNM+ driver path (reference entry point B,
