@@ -91,11 +91,8 @@ class StabilityVAEEncoder(Encoder):
                     f"({self.vae_name}) at {path}; unobtainable in this "
                     "environment (zero egress) - convert with "
                     "scripts/convert_vae_weights.py")
-            import flax.traverse_util as tu
-            flat = dict(np.load(path))
-            self._params = {"params": tu.unflatten_dict(
-                {tuple(k.split("/")): jnp.asarray(v)
-                 for k, v in flat.items()})}
+            from free_hunch_tpu.models.loading import load_params_npz
+            self._params = {"params": load_params_npz(path)}
         self._enc = jax.jit(lambda p, x: self._vae.apply(p, x,
                                                          method="encode"))
         self._dec = jax.jit(lambda p, z: self._vae.apply(p, z,
@@ -117,11 +114,19 @@ class StabilityVAEEncoder(Encoder):
         return jnp.concatenate([mean, std], axis=1)
 
     def encode_latents(self, x, key=None) -> jnp.ndarray:
-        """raw latents -> final (standardised, sampled) latents (:118)."""
+        """raw latents -> final (standardised, sampled) latents (:118).
+
+        With key=None a fresh key is split off an internal stream per call
+        (the reference's ``latent_dist.sample()`` draws fresh torch-global
+        noise each call; a FIXED default key would reuse the identical noise
+        pattern on every keyless encode). Pass an explicit key for
+        functional determinism."""
         import jax
         mean, std = jnp.split(jnp.asarray(x, jnp.float32), 2, axis=1)
         if key is None:
-            key = jax.random.PRNGKey(0)
+            if not hasattr(self, "_rng"):
+                self._rng = jax.random.PRNGKey(0)
+            self._rng, key = jax.random.split(self._rng)
         z = mean + jax.random.normal(key, mean.shape, jnp.float32) * std
         return z * self.scale + self.bias
 

@@ -99,9 +99,18 @@ class Evaluator:
         # --- model ----------------------------------------------------------
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
             opts.get("dtype", "bfloat16")]
+        remat = bool(opts.get("remat", False))
+        if opts.get("guidance_gradient") == "hybrid" and not remat:
+            # hybrid REQUIRES the remat'd UNet: without jax.checkpoint every
+            # forward activation must cross the lax.cond boundary as a
+            # pullback residual — measured 44G of HBM at 256px batch 8
+            # (bench.py applies the same coupling)
+            logger.warning("guidance_gradient=hybrid forces remat=True "
+                           "(cond-boundary pullback residuals)")
+            remat = True
         self.model, self.params, model_args = load_model(
             opts.get("openai_state_dict_path"), opts["openai_setup_path"],
-            dtype=dtype, remat=bool(opts.get("remat", False)),
+            dtype=dtype, remat=remat,
             init_random_if_missing=bool(opts.get("allow_random_init", False)))
         self.precond = wrap_precond(self.model, model_args,
                                     opts.get("iddpm_preconditioning", "linear"))

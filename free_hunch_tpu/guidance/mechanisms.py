@@ -385,6 +385,12 @@ class FreeHunch(ConditioningMechanism):
 
     @property
     def _adt(self):
+        if self.algebra_dtype and jnp.dtype(self.algebra_dtype) == jnp.float64 \
+                and not jax.config.jax_enable_x64:
+            # without x64, astype(float64) silently produces f32 — a
+            # precision-control A/B would then measure f32 while claiming f64
+            raise ValueError("algebra_dtype='float64' requires "
+                             "jax.config.update('jax_enable_x64', True)")
         return jnp.dtype(self.algebra_dtype) if self.algebra_dtype else jnp.float32
 
     # -- basis --------------------------------------------------------------
@@ -621,8 +627,17 @@ class FreeHunch(ConditioningMechanism):
                 analytic_grad = (var * mat_sg / sigma**2).astype(jnp.float32)
                 grad = jnp.where(analytic_case, analytic_grad, grad)
         elif self.guidance_gradient == "hybrid":
+            def guarded_pullback(m32):
+                # same large-update fallback as the vjp branch (reference
+                # :285-288) — without it a blown-up CG solution below the
+                # threshold would pass the isfinite guard and corrupt the chain
+                g = pullback(m32)
+                s = jnp.std((g * sigma_net**2).reshape(g.shape[0], -1), axis=-1)
+                fb = jnp.logical_and(jnp.logical_not(analytic_case),
+                                     s > self.denoiser_mean_error_threshold)
+                return jnp.where(fb[:, None, None, None], fallback, g)
             grad = jax.lax.cond(sigma_net < self.guidance_vjp_below,
-                                pullback, lambda m32: fallback,
+                                guarded_pullback, lambda m32: fallback,
                                 mat_sg.astype(jnp.float32))
         else:
             grad = pullback(mat_sg.astype(jnp.float32))

@@ -137,15 +137,24 @@ def _try_load_cache(path):
     (e.g. a truncated write from a killed process)."""
     if not path or not os.path.exists(path):
         return None
+    import warnings
+    import zipfile
     try:
         return load_params_npz(path)
-    except Exception as e:  # BadZipFile / OSError / KeyError on truncation
-        import warnings
+    except (zipfile.BadZipFile, EOFError, ValueError, KeyError) as e:
+        # definitively corrupt content (e.g. a truncated write from a killed
+        # process): discard so later loads convert fresh
         warnings.warn(f"discarding corrupt params cache {path!r}: {e!r}")
         try:
             os.remove(path)
         except OSError:
             pass
+        return None
+    except Exception as e:
+        # transient failures (EMFILE, MemoryError mid-decompress, interrupted
+        # read) must NOT destroy a valid multi-GB cache — fall back to
+        # conversion this time and leave the file for the next load
+        warnings.warn(f"params cache {path!r} unreadable (kept on disk): {e!r}")
         return None
 
 

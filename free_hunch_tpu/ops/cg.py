@@ -22,9 +22,12 @@ from jax import lax
 
 class CGInfo(NamedTuple):
     niter: jnp.ndarray          # () int32 — iterations actually run
-    residual_norm: jnp.ndarray  # (batch,) best ||Ax - b|| over iterations
-    #                             (matches the returned best iterate)
-    optimal: jnp.ndarray        # (batch,) bool — converged within maxiter
+    residual_norm: jnp.ndarray  # (batch,) ||Ax - b|| of the RETURNED iterate
+    #                             (best-tracked, or the last iterate's when
+    #                             track_best=False)
+    optimal: jnp.ndarray        # (batch,) bool — returned iterate reached the
+    #                             rtol/atol stop (stall/breakdown-frozen rows
+    #                             report False)
 
 
 def _dot(a, b):
@@ -95,7 +98,21 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
         act = jnp.logical_or(active, i < min_iter)
         ap = matvec(p)
         pap = _dot(p, ap)
-        alpha = jnp.where(pap > 0, rz / jnp.maximum(pap, jnp.finfo(dtype).tiny), 0.0)
+        # p^T A p breakdown rows take NO step this iteration (alpha=0) before
+        # freezing below — the reference torch CG breaks out BEFORE applying
+        # the update (cg.py:250-259); committing a near-breakdown alpha ~
+        # rz/1e-20 first would poison the last iterate track_best=False
+        # returns. The test is fully SCALE-INVARIANT (in both p and A):
+        # pap <= eps·||p||·||Ap|| flags directions where p and Ap are
+        # numerically orthogonal (for a healthy SPD system the cosine is
+        # >= 1/kappa, so this only trips past kappa ~ 1e16 — where CG cannot
+        # progress anyway). The reference's absolute 1e-16 would falsely trip
+        # on our unit-scale f32/f64 solves converging to tight rtol
+        # (pap ~ lambda·||r||² -> 0), and a ||p||²-relative test would
+        # falsely trip on well-conditioned systems of tiny absolute scale.
+        breakdown = pap <= 1e-16 * jnp.sqrt(_dot(p, p) * _dot(ap, ap))
+        alpha = jnp.where(breakdown, 0.0,
+                          rz / jnp.maximum(pap, jnp.finfo(dtype).tiny))
         m = act[:, None].astype(dtype)
         x = x + m * alpha[:, None] * p
         r = r - m * alpha[:, None] * ap
@@ -119,8 +136,8 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
         # freeze rows whose residual went non-finite (breakdown guard)
         active = jnp.logical_and(active, jnp.isfinite(res))
         # p^T A p breakdown: CG cannot progress on this row (the reference
-        # torch CG breaks out at the same absolute threshold, cg.py:257-259)
-        active = jnp.logical_and(active, pap > 1e-16)
+        # torch CG breaks out on its version of this test, cg.py:250-251)
+        active = jnp.logical_and(active, jnp.logical_not(breakdown))
         return x, r, p, rz_new, i + 1, active, best, stall, bx
 
     active0 = res0 > stop
@@ -128,8 +145,14 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     x, r, p, rz, niter, active, best, stall, bx = lax.while_loop(
         cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), active0,
                      res0, stall0, x0))
+    # residual of the RETURNED iterate: best-tracked for bx, the final
+    # ||r|| for the last iterate (they differ when residuals are non-monotone)
+    ret_res = best if track_best else jnp.sqrt(_dot(r, r))
+    # 'optimal' means the returned iterate actually reached the tolerance —
+    # rows frozen by stall detection / pap breakdown / non-finite residuals
+    # are NOT converged (the reference sets optimal=False on those exits too)
     return (bx if track_best else x), CGInfo(
-        niter=niter, residual_norm=best, optimal=jnp.logical_not(active))
+        niter=niter, residual_norm=ret_res, optimal=ret_res <= stop)
 
 
 def cg(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,

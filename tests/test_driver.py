@@ -302,3 +302,25 @@ def test_evaluator_class_conditional(tmp_path):
                                   use_labels=True)
     results = ev.run()
     assert np.isfinite(results["psnr"])
+
+
+def test_hybrid_gradient_forces_remat(tmp_path, setup32, monkeypatch):
+    """guidance_gradient=hybrid requires the remat'd UNet (without
+    jax.checkpoint every forward activation crosses the lax.cond boundary as
+    a pullback residual — 44G of HBM at 256px batch 8); the Evaluator must
+    force remat=True rather than OOM at compile time."""
+    import free_hunch_tpu.eval as ev_mod
+
+    seen = {}
+    real = ev_mod.load_model
+
+    def spy(*a, **k):
+        seen.update(k)
+        return real(*a, **k)
+
+    monkeypatch.setattr(ev_mod, "load_model", spy)
+    opts = _opts(tmp_path, setup32, conditioning_mechanism="online_covariance",
+                 image_base_covariance="dct_diagonal_noinfo",
+                 guidance_gradient="hybrid", remat=False, cov_capacity=4)
+    ev_mod.Evaluator(opts)
+    assert seen.get("remat") is True

@@ -158,3 +158,54 @@ def test_covariance_gradient_bimodal_posterior_quality():
     d1e = np.linalg.norm(exact - pm[1], axis=1)
     exact_w0 = float((d0e < d1e).mean())
     assert abs(got_w0 - exact_w0) < 0.12, (got_w0, exact_w0)
+
+
+def test_hybrid_guard_forces_fallback_below_threshold():
+    """The hybrid branch must apply the SAME large-update fallback as the vjp
+    branch (reference conditioning_mechanisms.py:285-288): with the vjp active
+    everywhere (guidance_vjp_below=inf) and the fallback forced on every call
+    (threshold=-1), hybrid samples must equal covariance-mode samples exactly
+    — a blown-up pullback below the sigma threshold would otherwise bypass
+    the guard that the pure-vjp path has."""
+    gmm = _bimodal_gmm()
+    mask = np.array([0.0, 1.0], np.float32)
+    y = np.array([0.0, 0.4], np.float32)
+    common = dict(n=64, num_steps=8, key=jax.random.PRNGKey(11))
+
+    hyb, _ = sample_gmm_posterior(
+        gmm, mask, y, 0.8, mechanism_kwargs=dict(
+            guidance_gradient="hybrid", guidance_vjp_below=1e9,
+            denoiser_mean_error_threshold=-1.0), **common)
+    covg, _ = sample_gmm_posterior(
+        gmm, mask, y, 0.8, mechanism_kwargs=dict(
+            guidance_gradient="covariance"), **common)
+    np.testing.assert_allclose(hyb, covg, rtol=0, atol=1e-5)
+
+
+def test_algebra_dtype_f64_requires_x64():
+    """algebra_dtype='float64' without jax_enable_x64 silently computes in f32
+    (astype(float64) is a no-op) — the mechanism must refuse instead of
+    letting a precision-control A/B measure f32 while claiming f64."""
+    import pytest
+
+    from free_hunch_tpu.guidance.mechanisms import FreeHunch
+    from free_hunch_tpu.operators import get_operator
+
+    res = 8
+    op = get_operator(name="inpainting", sigma_s=0.05,
+                      mask=np.ones((1, 3, res, res), np.float32),
+                      in_shape=(1, 3, res, res))
+    mech = FreeHunch(forward_operator=op, cond_scaling=1.0,
+                     clip_x0_mean=False, image_base_covariance="identity",
+                     init_denoiser_variance=1.0, init_noise_variance=4.0,
+                     data_dim=3 * res * res, cov_capacity=4,
+                     solver_type="customcuda", max_rtol=1.0,
+                     algebra_dtype="float64")
+    assert jax.config.jax_enable_x64  # conftest default
+    assert mech._adt == jnp.float64   # fine with x64 on
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.raises(ValueError, match="jax_enable_x64"):
+            mech._adt
+    finally:
+        jax.config.update("jax_enable_x64", True)

@@ -112,3 +112,63 @@ def test_cg_solve_differentiable():
     x = np.linalg.solve(A, np.asarray(b))
     want = 2 * np.linalg.solve(A, x)  # d/db ||A^-1 b||^2 = 2 A^-T A^-1 b
     np.testing.assert_allclose(g, want, rtol=1e-6, atol=1e-9)
+
+
+def test_cg_breakdown_takes_no_step():
+    """pAp breakdown (zero curvature along p) must freeze the row WITHOUT
+    committing the near-breakdown alpha ~ rz/tiny step first — the reference
+    torch CG breaks out before applying the update (cg.py:250-259). With
+    track_best=False the LAST iterate is returned, so a poisoned step would
+    be user-visible."""
+    b = jnp.asarray(np.random.default_rng(0).normal(size=(3, 8)))
+    mv = lambda v: jnp.zeros_like(v)  # A = 0: pap = 0 on the first iteration
+    x, info = cg_mod.cg_batch(mv, b, rtol=1e-10, maxiter=50, track_best=False)
+    np.testing.assert_array_equal(np.asarray(x), 0.0)  # stayed at x0
+    assert np.isfinite(np.asarray(x)).all()
+    # the frozen rows never reached the tolerance -> not optimal
+    assert not bool(np.asarray(info.optimal).any())
+    # residual_norm reports the RETURNED (last) iterate's true residual ||b||
+    np.testing.assert_allclose(np.asarray(info.residual_norm),
+                               np.linalg.norm(b, axis=-1), rtol=1e-12)
+
+
+def test_cg_breakdown_is_relative_not_absolute():
+    """A tiny-but-healthy SPD system (all curvature below the reference's
+    absolute 1e-16 cutoff) must still be solved: the breakdown test is
+    relative to ||p||^2, not an absolute pap threshold."""
+    rng = np.random.default_rng(1)
+    n = 6
+    A = rng.normal(size=(n, n))
+    A = (A @ A.T + n * np.eye(n)) * 1e-24  # pap ~ 1e-24 * ||p||^2 scale
+    b = rng.normal(size=(1, n)) * 1e-12
+    Aj = jnp.asarray(A)
+    mv = lambda v: v @ Aj.T
+    x, info = cg_mod.cg_batch(mv, jnp.asarray(b), rtol=1e-8, maxiter=100)
+    want = np.linalg.solve(A, b[0])
+    np.testing.assert_allclose(np.asarray(x[0]), want, rtol=1e-5)
+    assert bool(info.optimal.all())
+
+
+def test_cg_optimal_means_returned_iterate_converged():
+    """'optimal' must report whether the returned iterate actually reached the
+    rtol/atol stop — maxiter/stall exits report False, and residual_norm is
+    the returned iterate's true ||Ax - b|| for both track_best settings."""
+    rng = np.random.default_rng(2)
+    n = 32
+    # ill-conditioned SPD system: 1 iteration cannot converge to rtol=1e-10
+    A = rng.normal(size=(1, n, n))
+    A = A @ np.transpose(A, (0, 2, 1)) + 1e-3 * np.eye(n)
+    b = rng.normal(size=(1, n))
+    Aj = jnp.asarray(A)
+    mv = lambda v: jnp.einsum("bij,bj->bi", Aj, v)
+    for track_best in (True, False):
+        x, info = cg_mod.cg_batch(mv, jnp.asarray(b), rtol=1e-10, maxiter=1,
+                                  track_best=track_best)
+        true_res = np.linalg.norm(
+            np.einsum("bij,bj->bi", A, np.asarray(x)) - b, axis=-1)
+        np.testing.assert_allclose(np.asarray(info.residual_norm), true_res,
+                                   rtol=1e-10)
+        assert not bool(np.asarray(info.optimal)[0]), track_best
+    # and a converged solve still reports optimal=True
+    x, info = cg_mod.cg_batch(mv, jnp.asarray(b), rtol=1e-10, maxiter=500)
+    assert bool(np.asarray(info.optimal)[0])

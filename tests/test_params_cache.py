@@ -45,3 +45,25 @@ def test_corrupt_cache_discarded(tmp_path):
 def test_missing_cache_is_none(tmp_path):
     assert _try_load_cache(str(tmp_path / "absent.npz")) is None
     assert _try_load_cache(None) is None
+
+
+def test_transient_load_failure_keeps_cache(tmp_path, monkeypatch):
+    """A transient reader failure (EMFILE, MemoryError mid-decompress) must
+    NOT delete a valid multi-GB cache — fall back to conversion this time and
+    leave the file for the next load. Only definitively-corrupt content
+    (BadZipFile & co) may be discarded."""
+    import pytest
+
+    import free_hunch_tpu.models.loading as loading
+
+    path = str(tmp_path / "p.npz")
+    save_params_npz(path, _params())
+    monkeypatch.setattr(loading, "load_params_npz",
+                        lambda p: (_ for _ in ()).throw(MemoryError("oom")))
+    with pytest.warns(UserWarning, match="unreadable .kept on disk"):
+        assert loading._try_load_cache(path) is None
+    assert (tmp_path / "p.npz").exists()
+    monkeypatch.undo()
+    out = loading._try_load_cache(path)  # intact cache loads next time
+    np.testing.assert_array_equal(np.asarray(out["block"]["w"]),
+                                  _params()["block"]["w"])

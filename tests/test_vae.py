@@ -310,3 +310,19 @@ def test_legacy_attention_naming():
     flat_old = jax.tree_util.tree_leaves(p_old)
     for a, b in zip(flat_new, flat_old):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_keyless_encode_latents_draws_fresh_noise():
+    """key=None must draw fresh noise per call (the reference's
+    latent_dist.sample() uses fresh torch-global noise each call) — a fixed
+    default key would stamp the identical noise pattern onto every keyless
+    encode. Explicit keys stay deterministic."""
+    enc = StabilityVAEEncoder(batch_size=2)  # pure math path, no weights
+    raw = np.concatenate([np.zeros((2, 4, 8, 8), np.float32),
+                          np.ones((2, 4, 8, 8), np.float32)], axis=1)
+    a = np.asarray(enc.encode_latents(raw))
+    b = np.asarray(enc.encode_latents(raw))
+    assert np.abs(a - b).max() > 1e-3  # fresh noise
+    k = jax.random.PRNGKey(5)
+    np.testing.assert_array_equal(np.asarray(enc.encode_latents(raw, key=k)),
+                                  np.asarray(enc.encode_latents(raw, key=k)))
