@@ -9,7 +9,7 @@ vs_baseline is measured against the 64 samples/min/chip target (the reference
 publishes no numbers — BASELINE.md).
 
 Prints ONE JSON line on stdout; progress goes to stderr.
-Env knobs: BENCH_BATCH (default 2), BENCH_STEPS (default 30), BENCH_ITERS.
+Env knobs: BENCH_BATCH (default 8), BENCH_STEPS (default 30), BENCH_ITERS.
 """
 import functools
 import json
