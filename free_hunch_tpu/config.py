@@ -2,8 +2,10 @@
 
 Parity: reference ``config_utils.py`` (schema-validated 60-key surface,
 ``load_config:72``, ``validate_and_convert:38``, ``get_job_name_params:116``).
-The schema lives in ``config/config.yaml`` next to the repo root; the TPU build
-adds a handful of TPU-only keys (batch_size, mesh_shape, cov_capacity, dtype).
+The schema ships inside the package (``free_hunch_tpu/config_default.yaml``;
+``config/config.yaml`` at the repo root is a symlink to it, mirroring the
+reference layout); the TPU build adds a handful of TPU-only keys
+(batch_size, mesh_shape, cov_capacity, dtype).
 """
 from __future__ import annotations
 
@@ -17,7 +19,7 @@ import yaml
 from free_hunch_tpu.utils.easydict import EasyDict
 
 _DEFAULT_CONFIG_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "config", "config.yaml"
+    os.path.dirname(os.path.abspath(__file__)), "config_default.yaml"
 )
 
 

@@ -270,3 +270,17 @@ def test_data_solution_reduces_residual():
     def resid(x):
         return float(jnp.sum((downsample(fft_conv(x, FB), sf) - y) ** 2))
     assert resid(sol) < resid(x0)
+
+
+def test_packaged_default_config():
+    """The default config ships inside the package (pyproject package-data),
+    so a wheel install works without the repo checkout (reference keeps it at
+    config/config.yaml — here that path is a symlink to the packaged file)."""
+    import free_hunch_tpu
+    from free_hunch_tpu.config import _DEFAULT_CONFIG_PATH, load_config
+
+    pkg_dir = os.path.dirname(os.path.abspath(free_hunch_tpu.__file__))
+    assert os.path.abspath(_DEFAULT_CONFIG_PATH).startswith(pkg_dir)
+    assert os.path.isfile(_DEFAULT_CONFIG_PATH)
+    opts = load_config(argv=["--outdir=/tmp/_cfg_probe"])
+    assert opts.num_steps > 0 and "conditioning_mechanism" in opts
