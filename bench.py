@@ -86,6 +86,12 @@ def main():
         solver_type="customcuda", max_rtol=float(os.environ.get("BENCH_MAX_RTOL", 1.0)),
         cg_maxiter=int(os.environ.get("BENCH_CG_MAXITER", 5000)),
         cg_coords=os.environ.get("BENCH_CG_COORDS", "auto"),
+        # cg_warm_start=prev (production default): recycle the previous
+        # guidance stage's CG solution as the next solve's starting point
+        # (consecutive stages solve nearby systems) — 568 -> 300 iterations,
+        # quality A/B in docs/bench/cg_warm_start_ab.json. BENCH_CG_WARM=b
+        # restores the reference torch-CG x0=rhs start.
+        cg_warm_start=os.environ.get("BENCH_CG_WARM", "prev"),
         # BENCH_GRAD=covariance: Sigma_0 mat / sigma^2 instead of the UNet
         # vjp pullback (the reference's :283 alternative) — no pullback pass,
         # no vjp residual memory

@@ -57,6 +57,7 @@ _MECH_KEYS = dict(
                        "space_step_update_threshold",
                        "space_step_update_lower_threshold", "do_space_updates",
                        "use_analytic_var_at_end", "solver_type", "cg_coords",
+                       "cg_warm_start",
                        "guidance_gradient", "guidance_vjp_below",
                        "bfgs_secant_novelty_min"),
     diffpir=("diffpir_lambda",),

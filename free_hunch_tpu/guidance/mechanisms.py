@@ -255,11 +255,14 @@ class DiffPIR(ConditioningMechanism):
 class FreeHunchState(NamedTuple):
     """Scan carry for the online covariance mechanism. ``cov`` leaves have a
     leading batch axis; prev_* mirror the reference's history lists (:216-218)
-    truncated to the single step they actually consult (:241-263)."""
+    truncated to the single step they actually consult (:241-263). ``prev_u``
+    carries the previous stage's measurement-space CG solution for
+    cg_warm_start='prev' (dead zeros in the reference-semantics 'b' mode)."""
     cov: LowRank
     prev_sigma: jnp.ndarray   # () f32
     prev_x: jnp.ndarray       # (B, C, H, W)
     prev_mean: jnp.ndarray    # (B, C, H, W)
+    prev_u: jnp.ndarray       # (B, *measurement_shape)
     step: jnp.ndarray         # () int32
     cg_niter: jnp.ndarray     # () int32 — iterations of the last mat solve
     cg_resnorm: jnp.ndarray   # () f32 — batch-mean final residual norm
@@ -346,6 +349,15 @@ class FreeHunch(ConditioningMechanism):
     # rfft lowering makes the fourier iteration 1.78x MORE expensive
     # (docs/bench/cg_coords_bench.json).
     cg_coords: str = "auto"
+    # CG starting point. 'b' = the reference torch CG's x0 = rhs warm start
+    # (cg.py:143), required for bit-level reference A/B. 'prev' recycles the
+    # previous guidance stage's CG solution as the start: consecutive ODE
+    # stages solve nearby systems (Sigma_0 and x0_mean move smoothly in
+    # sigma), so the previous u is already close — measurably fewer
+    # iterations for the same solutions (identical wherever CG converges;
+    # loose-rtol iterates at large sigma differ, the same documented class
+    # as cg_precondition). The first stage falls back to 'b'.
+    cg_warm_start: str = "b"
     # Analytic-transport formula: 'telescoped' (production — the exact SPD
     # (I + a Sigma)^-1 form, oracle-verified 20x closer to the true value
     # with the real dct prior) or 'two_inverse' (the reference's literal
@@ -427,8 +439,14 @@ class FreeHunch(ConditioningMechanism):
         cov1 = cov_mod.init_state(diag, d, self.cov_capacity)
         cov = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape).copy(), cov1)
         zeros = jnp.zeros((batch,) + tuple(img_shape), self._adt)
+        # measurement-space shape for the recycled CG solution (abstract
+        # trace only — no device compute; SR solves on the low-res grid)
+        u_shape = jax.eval_shape(
+            lambda z: self.forward_operator.forward(z, noiseless=True),
+            jax.ShapeDtypeStruct((batch,) + tuple(img_shape), jnp.float32)).shape
         return FreeHunchState(cov=cov, prev_sigma=jnp.asarray(0.0, self._adt),
                               prev_x=zeros, prev_mean=zeros,
+                              prev_u=jnp.zeros(u_shape, self._adt),
                               step=jnp.asarray(0, jnp.int32),
                               cg_niter=jnp.asarray(0, jnp.int32),
                               cg_resnorm=jnp.asarray(0.0, jnp.float32),
@@ -577,6 +595,14 @@ class FreeHunch(ConditioningMechanism):
                         if self.image_base_covariance.startswith("dct")
                         else None)
 
+        if self.cg_warm_start not in ("b", "prev"):
+            raise ValueError(f"cg_warm_start must be 'b' or 'prev', got "
+                             f"{self.cg_warm_start!r}")
+        recycle_u = self.cg_warm_start == "prev"
+        recycle_kw = (dict(u_init=state.prev_u.astype(adt),
+                           u_init_valid=state.step > 0, return_u=True)
+                      if recycle_u else {})
+
         def cov_mat(_):
             return choose_solver(self.forward_operator, y, x0_a, cov_mv=cov_mv,
                                  method=self.solver_type, max_rtol=self.max_rtol,
@@ -588,7 +614,7 @@ class FreeHunch(ConditioningMechanism):
                                  cov_dct_diag=cov_dct_diag,
                                  rtol_floor=self.rtol_floor,
                                  track_best=self.cg_track_best,
-                                 cg_coords=self.cg_coords)
+                                 cg_coords=self.cg_coords, **recycle_kw)
 
         if self.use_analytic_var_at_end:
             # low-sigma analytic-variance override (reference :273-278); only
@@ -604,12 +630,17 @@ class FreeHunch(ConditioningMechanism):
                     self.forward_operator, y, x0_a,
                     theta0_var=jnp.broadcast_to(var, x0.shape).astype(adt),
                     method="scipy", max_rtol=self.max_rtol,
-                    maxiter=self.cg_maxiter, return_info=True)
+                    maxiter=self.cg_maxiter, return_info=True, **recycle_kw)
 
-            mat, cg_info = jax.lax.cond(analytic_case, analytic_mat, cov_mat, None)
+            solved = jax.lax.cond(analytic_case, analytic_mat, cov_mat, None)
         else:
             analytic_case = jnp.asarray(False)
-            mat, cg_info = cov_mat(None)
+            solved = cov_mat(None)
+        if recycle_u:
+            mat, cg_info, u_next = solved
+        else:
+            mat, cg_info = solved
+            u_next = state.prev_u
 
         # (5) guidance gradient: vjp of mat through the UNet, with the
         # large-update fallback Sigma_0 mat / sigma^2 (reference :280-288).
@@ -657,7 +688,7 @@ class FreeHunch(ConditioningMechanism):
 
         new_state = FreeHunchState(
             cov=self._constrain_cov(cov), prev_sigma=sigma, prev_x=x_t,
-            prev_mean=x0_a,
+            prev_mean=x0_a, prev_u=u_next.astype(self._adt),
             step=state.step + 1,
             cg_niter=jnp.asarray(cg_info.niter, jnp.int32),
             cg_resnorm=jnp.mean(cg_info.residual_norm).astype(jnp.float32),

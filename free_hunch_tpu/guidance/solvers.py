@@ -70,7 +70,8 @@ def _flatten(v):
 
 def _run_cg(matvec_img: Callable, b_img: jnp.ndarray, rtol, maxiter: int,
             precond: Optional[Callable] = None, warm_start: bool = False,
-            min_iter: int = 0, stall_iters: int = 25, track_best: bool = True):
+            min_iter: int = 0, stall_iters: int = 25, track_best: bool = True,
+            x0_init: Optional[jnp.ndarray] = None, x0_init_valid=None):
     """CG over (B, ...) image-shaped systems via flatten/unflatten.
 
     warm_start starts from x0 = b and min_iter=1 forces one update before the
@@ -80,16 +81,26 @@ def _run_cg(matvec_img: Callable, b_img: jnp.ndarray, rtol, maxiter: int,
     sigma_max). Starting from M(b) with the Fourier preconditioner was
     measured SLOWER: the inverse amplifies near-null-space components of b
     (blur spectrum ~ 0 at high frequency) by 1/sigma_s^2, and CG then spends
-    ~170 iterations undoing them."""
+    ~170 iterations undoing them.
+
+    x0_init overrides the start entirely (solution recycling across guidance
+    stages); x0_init_valid (traced scalar bool) falls back to the
+    warm_start/zero default when False — the first stage of a sampling run
+    has no previous solution to recycle."""
     shape = b_img.shape
 
     def mv(v):
         return _flatten(matvec_img(v.reshape(shape)))
 
+    x0 = _flatten(b_img) if warm_start else None
+    if x0_init is not None:
+        base = _flatten(b_img) if warm_start else jnp.zeros_like(_flatten(b_img))
+        x0 = (jnp.where(x0_init_valid, _flatten(x0_init), base)
+              if x0_init_valid is not None else _flatten(x0_init))
+
     pc = None if precond is None else (lambda v: _flatten(precond(v.reshape(shape))))
     u, info = cg_mod.cg_batch(mv, _flatten(b_img), rtol=rtol, maxiter=maxiter,
-                              precond=pc,
-                              x0=_flatten(b_img) if warm_start else None,
+                              precond=pc, x0=x0,
                               min_iter=min_iter, stall_iters=stall_iters,
                               track_best=track_best)
     return u.reshape(shape), info
@@ -141,20 +152,23 @@ def _mean_variance(theta0_var, cov_trace_mean, x_like):
 # Deblur (gaussian_blur / motion_blur): A = ifft2(FB * fft2(.)) circular conv.
 # ---------------------------------------------------------------------------
 
-def deblur_mat_closed_form(operator, y, x0_mean, theta0_var):
+def deblur_mat_closed_form(operator, y, x0_mean, theta0_var, return_u=False):
     """Scalar-variance case diagonalises in Fourier space
     (reference _deblur_mat:450-456)."""
     sigma_s = jnp.clip(operator.sigma_s, min=0.001)
     FB, FBC, F2B, _ = operator.pre_calculated
     resid = y - _ifft2_r(FB * _fft2(x0_mean))
-    return _ifft2_r(_fft2(resid) / (sigma_s**2 + theta0_var * F2B) * FBC)
+    uf = _fft2(resid) / (sigma_s**2 + theta0_var * F2B)
+    mat = _ifft2_r(uf * FBC)
+    return (mat, _ifft2_r(uf)) if return_u else mat
 
 
 def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                   rtol=1e-4, maxiter=1000, cov_trace_mean=None,
                   return_info=False, warm_start=False, min_iter=0,
                   precondition=True, stall_iters=25, cov_fourier_spec=None,
-                  track_best=True):
+                  track_best=True, u_init=None, u_init_valid=None,
+                  return_u=False):
     """General-covariance case (reference
     _deblur_mat_generic_customcuda_bfgs_tailored:490 and the scipy twin :529).
     Per CG iteration: u -> sigma_s^2 u + A C A^T u with A^T via FBC.
@@ -191,8 +205,11 @@ def deblur_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     b = y - _ifft2_r(FB * _fft2(x0_mean))
     u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
                       warm_start=warm_start, min_iter=min_iter,
-                      stall_iters=stall_iters, track_best=track_best)
+                      stall_iters=stall_iters, track_best=track_best,
+                      x0_init=u_init, x0_init_valid=u_init_valid)
     mat = _ifft2_r(FBC * _fft2(u))
+    if return_u:
+        return mat, info, u
     return (mat, info) if return_info else mat
 
 
@@ -212,7 +229,8 @@ def deblur_mat_cg_fourier(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                           rtol=1e-4, maxiter=1000, cov_trace_mean=None,
                           return_info=False, warm_start=False, min_iter=0,
                           precondition=True, stall_iters=25,
-                          cov_fourier_spec=None, track_best=True):
+                          cov_fourier_spec=None, track_best=True,
+                          u_init=None, u_init_valid=None, return_u=False):
     """``deblur_mat_cg`` re-expressed in (weighted) rfft2 coordinates.
 
     A = F^-1 diag(FB) F is diagonal in Fourier space, so running CG on
@@ -275,15 +293,25 @@ def deblur_mat_cg_fourier(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
 
     b_pix = y - jnp.fft.irfft2(FBh * jnp.fft.rfft2(x0_mean), s=(H, W)).astype(rdt)
     b_f = pack(jnp.fft.rfft2(b_pix))
+    x0_f = b_f if warm_start else None
+    if u_init is not None:
+        # recycled solutions live in pixel space (shared with the pixel
+        # solver, so cg_coords can change without invalidating the carry)
+        init_f = pack(jnp.fft.rfft2(u_init.astype(rdt)))
+        base_f = b_f if warm_start else jnp.zeros_like(b_f)
+        x0_f = (jnp.where(u_init_valid, init_f, base_f)
+                if u_init_valid is not None else init_f)
     u_f, info = cg_mod.cg_batch(matvec, b_f, rtol=rtol, maxiter=maxiter,
-                                precond=precond,
-                                x0=b_f if warm_start else None,
+                                precond=precond, x0=x0_f,
                                 min_iter=min_iter, stall_iters=stall_iters,
                                 track_best=track_best)
     # report residual norms on the pixel scale (|| . ||_packed = sqrt(H*W) x)
     info = info._replace(residual_norm=info.residual_norm
                          / jnp.sqrt(jnp.asarray(H * W, rdt)))
     mat = jnp.fft.irfft2(FBCh * unpack(u_f), s=(H, W)).astype(rdt)
+    if return_u:
+        u_pix = jnp.fft.irfft2(unpack(u_f), s=(H, W)).astype(rdt)
+        return mat, info, u_pix
     return (mat, info) if return_info else mat
 
 
@@ -291,7 +319,7 @@ def deblur_mat_cg_fourier(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
 # Super-resolution: A = downsample(ifft2(FB * fft2(.)), sf).
 # ---------------------------------------------------------------------------
 
-def sr_mat_closed_form(operator, y, x0_mean, theta0_var):
+def sr_mat_closed_form(operator, y, x0_mean, theta0_var, return_u=False):
     """Scalar-variance case via the polyphase (splits) identity
     (reference _super_resolution_mat:602-610)."""
     sigma_s = jnp.clip(operator.sigma_s, min=0.01)
@@ -300,14 +328,16 @@ def sr_mat_closed_form(operator, y, x0_mean, theta0_var):
     invW = jnp.mean(splits(F2B, sf), axis=-1)
     resid = y - downsample(_ifft2_r(FB * _fft2(x0_mean)), sf)
     num = _fft2(resid) / (sigma_s**2 + theta0_var * invW)
-    return _ifft2_r(FBC * jnp.tile(num, (1, 1, sf, sf)))
+    mat = _ifft2_r(FBC * jnp.tile(num, (1, 1, sf, sf)))
+    return (mat, _ifft2_r(num)) if return_u else mat
 
 
 def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
               rtol=1e-4, maxiter=1000, cov_trace_mean=None,
               return_info=False, warm_start=False, min_iter=0,
               precondition=True, stall_iters=25, cov_fourier_spec=None,
-              track_best=True):
+              track_best=True, u_init=None, u_init_valid=None,
+              return_u=False):
     """(reference _super_resolution_mat_generic_customcuda_bfgs_tailored:641).
     Preconditioned with the polyphase-diagonal inverse for C = v_bar I."""
     sigma_s = jnp.clip(operator.sigma_s, min=0.01)
@@ -348,8 +378,11 @@ def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     b = y - downsample(_ifft2_r(FB * _fft2(x0_mean)), sf)
     u, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
                       warm_start=warm_start, min_iter=min_iter,
-                      stall_iters=stall_iters, track_best=track_best)
+                      stall_iters=stall_iters, track_best=track_best,
+                      x0_init=u_init, x0_init_valid=u_init_valid)
     mat = _ifft2_r(FBC * _fft2(upsample(u, sf)))
+    if return_u:
+        return mat, info, u
     return (mat, info) if return_info else mat
 
 
@@ -357,18 +390,21 @@ def sr_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
 # Inpainting: A = mask * .
 # ---------------------------------------------------------------------------
 
-def inpainting_mat_closed_form(operator, y, x0_mean, theta0_var):
+def inpainting_mat_closed_form(operator, y, x0_mean, theta0_var, return_u=False):
     """Scalar variance (reference _inpainting_mat:354-358)."""
     sigma_s = jnp.clip(operator.sigma_s, min=0.001)
     mask = operator.mask
-    return (mask * y - mask * x0_mean) / (sigma_s**2 + theta0_var)
+    mat = (mask * y - mask * x0_mean) / (sigma_s**2 + theta0_var)
+    # mat = A^T u = mask * u equals u itself (u carries the mask factor)
+    return (mat, mat) if return_u else mat
 
 
 def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                       rtol=1e-4, maxiter=1000, cov_trace_mean=None,
                       return_info=False, warm_start=False, min_iter=0,
                       precondition=True, stall_iters=25, cov_fourier_spec=None,
-                      track_best=True):
+                      track_best=True, u_init=None, u_init_valid=None,
+                      return_u=False):
     """(reference _inpainting_mat_generic_customcuda_bfgs_tailored:385 / the
     diagonal-variance CG at :366-381). Jacobi-preconditioned with the exact
     diagonal for C = v_bar I."""
@@ -389,7 +425,12 @@ def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     b = mask * y - mask * x0_mean
     mat, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
                         warm_start=warm_start, min_iter=min_iter,
-                        stall_iters=stall_iters, track_best=track_best)
+                        stall_iters=stall_iters, track_best=track_best,
+                        x0_init=u_init, x0_init_valid=u_init_valid)
+    if return_u:
+        # the solved u IS image-shaped here; mat = mask * u is applied inside
+        # the matvec, so the returned iterate doubles as the recyclable u
+        return mat, info, mat
     return (mat, info) if return_info else mat
 
 
@@ -418,7 +459,8 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                   cov_trace_mean=None, return_info: bool = False,
                   precondition: bool = True, stall_iters: int = 25,
                   cov_dct_diag=None, rtol_floor: float = RTOL_F32_FLOOR,
-                  track_best: bool = True, cg_coords: str = "auto"):
+                  track_best: bool = True, cg_coords: str = "auto",
+                  u_init=None, u_init_valid=None, return_u: bool = False):
     """Solve for ``mat`` given an operator by name.
 
     method:
@@ -441,6 +483,15 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     return_info: also return the solve's ``CGInfo`` (niter, residual_norm,
     optimal) — the reference discards its torch-CG ``info`` dict; we surface
     it so iteration budgets are observable (VERDICT r1 weak #3).
+
+    u_init / u_init_valid / return_u: solution recycling across guidance
+    stages. return_u makes every family return ``(mat, info, u)`` where u is
+    the measurement-space CG solution (for closed forms, the exact one);
+    feeding it back as ``u_init`` on the next call starts CG at the previous
+    stage's solution instead of the RHS — consecutive stages solve nearby
+    systems, so the start is already close (an improvement the reference
+    lacks; identical at convergence, fewer iterations to get there).
+    ``u_init_valid`` gates the recycle (False on the first stage).
 
     cg_coords: coordinate system for the deblur-family CG. 'fourier' runs
     the same CG path in weighted rfft2 coordinates (a rescaled orthogonal
@@ -468,8 +519,12 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     scalarish = (cov_mv is None and theta0_var is not None
                  and jnp.ndim(theta0_var) == 0)
     if method in ("closed_form", "scipy") and scalarish:
+        if return_u:
+            mat, u = _CLOSED[name](operator, y, x0_mean, theta0_var, return_u=True)
+            return mat, _no_cg_info(x0_mean), u
         mat = _CLOSED[name](operator, y, x0_mean, theta0_var)
         return (mat, _no_cg_info(x0_mean)) if return_info else mat
+    recycle = dict(u_init=u_init, u_init_valid=u_init_valid, return_u=return_u)
     if method in ("cg", "customcuda"):
         rtol = (rtol_schedule(sigma_t, max_rtol, floor=rtol_floor)
                 if sigma_t is not None else 1e-4)
@@ -478,11 +533,11 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                          cov_trace_mean=cov_trace_mean, return_info=return_info,
                          warm_start=True, min_iter=1, precondition=precondition,
                          stall_iters=stall_iters, cov_fourier_spec=spec,
-                         track_best=track_best)
+                         track_best=track_best, **recycle)
     # scipy-equivalent path (and closed-form fallbacks with non-scalar var)
     rtol = rtol_schedule_2(sigma_t) if (sigma_t is not None and use_rtol_func) else 1e-4
     return cg_table[name](operator, y, x0_mean, theta0_var=theta0_var, cov_mv=cov_mv,
                      rtol=rtol, maxiter=maxiter or 1000,
                      cov_trace_mean=cov_trace_mean, return_info=return_info,
                      precondition=precondition, stall_iters=stall_iters,
-                     cov_fourier_spec=spec, track_best=track_best)
+                     cov_fourier_spec=spec, track_best=track_best, **recycle)

@@ -198,3 +198,30 @@ def test_sample_scan_collects_cg_diagnostics():
                                      sigma0_scaled=s0_e, collect_diagnostics=True)
     )(noise, y, jax.random.PRNGKey(6))
     assert (np.asarray(diag_e["cg_niter"])[:, 1] == -1).all()
+
+
+def test_cg_warm_start_prev_matches_b_at_tight_rtol():
+    """cg_warm_start='prev' recycles the previous stage's CG solution as the
+    next solve's start. With the rtol schedule capped tight, every solve
+    converges, solutions are unique, and the two modes must produce the same
+    trajectory (the recycled start only changes the path, not the solution)."""
+    common = dict(num_steps=3, image_base_covariance="dct_diagonal_noinfo",
+                  max_rtol=1e-6, cg_maxiter=500)
+    xb = _run("online_covariance", "gaussian_blur", **common)
+    xp = _run("online_covariance", "gaussian_blur", cg_warm_start="prev",
+              **common)
+    scale = np.abs(xb).max()
+    assert np.abs(xp - xb).max() < 1e-3 * scale
+
+
+def test_cg_warm_start_validates():
+    op = _operator("inpainting")
+    mech = choose_conditioning_mechanism("online_covariance")(
+        cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
+        init_denoiser_variance=1.0, init_noise_variance=4.0,
+        data_dim=3 * RES * RES, cov_capacity=8, cg_warm_start="banana")
+    state = mech.init_state(1, (3, RES, RES))
+    _, denoise = _net()
+    x = jnp.zeros((1, 3, RES, RES))
+    with pytest.raises(ValueError, match="cg_warm_start"):
+        mech(denoise, x, op.forward(x, noiseless=True), 2.0, state)

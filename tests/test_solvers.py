@@ -267,3 +267,90 @@ def test_choose_solver_cg_coords_dispatch():
     with pytest.raises(ValueError, match="cg_coords"):
         S.choose_solver(op, y, x0, theta0_var=jnp.asarray(0.7, jnp.float32),
                         method="cg", sigma_t=0.3, cg_coords="spectral")
+
+
+def test_u_init_recycling_starts_at_the_solution():
+    """A CG solve started from a previous solve's returned u converges
+    immediately; u_init_valid=False falls back to the default start."""
+    rng = np.random.default_rng(61)
+    k = rng.uniform(0.1, 1, (5, 5))
+    op = get_operator(name="gaussian_blur", in_shape=(1, 3, RES, RES),
+                      sigma_s=0.3, kernel=k / k.sum())
+    x0 = _imgs(62)
+    y = op.forward(_imgs(63), noiseless=True)
+    # precondition=False: the Fourier preconditioner is EXACT for scalar
+    # variance (1-iteration solves), which would mask the recycling effect
+    kw = dict(theta0_var=jnp.asarray(0.5, jnp.float32), rtol=1e-5,
+              maxiter=300, return_info=True, precondition=False)
+    mat1, info1, u1 = S.deblur_mat_cg(op, y, x0, return_u=True, **kw)
+    assert int(info1.niter) > 3  # the cold solve does real work
+    # restart at the solution: the initial residual already satisfies rtol
+    mat2, info2, _ = S.deblur_mat_cg(op, y, x0, return_u=True, u_init=u1,
+                                     u_init_valid=jnp.asarray(True), **kw)
+    assert int(info2.niter) == 0
+    scale = float(jnp.max(jnp.abs(mat1)))
+    assert float(jnp.max(jnp.abs(mat2 - mat1))) < 1e-5 * scale
+    # invalid recycle falls back to the cold start -> identical path
+    mat3, info3, _ = S.deblur_mat_cg(op, y, x0, return_u=True, u_init=u1,
+                                     u_init_valid=jnp.asarray(False), **kw)
+    assert int(info3.niter) == int(info1.niter)
+    np.testing.assert_allclose(np.asarray(mat3), np.asarray(mat1), rtol=1e-6)
+
+
+def test_u_init_recycling_fourier_coords_shares_pixel_u():
+    """The fourier-coordinate deblur CG consumes and returns PIXEL-space u,
+    so the recycled carry is valid across cg_coords choices."""
+    rng = np.random.default_rng(64)
+    k = rng.uniform(0.1, 1, (5, 5))
+    op = get_operator(name="gaussian_blur", in_shape=(1, 3, RES, RES),
+                      sigma_s=0.3, kernel=k / k.sum())
+    x0 = _imgs(65)
+    y = op.forward(_imgs(66), noiseless=True)
+    kw = dict(theta0_var=jnp.asarray(0.5, jnp.float32), rtol=1e-5,
+              maxiter=300, return_info=True, return_u=True)
+    mat_p, _, u_p = S.deblur_mat_cg(op, y, x0, **kw)
+    mat_f, info_f, u_f = S.deblur_mat_cg_fourier(op, y, x0, u_init=u_p,
+                                                 u_init_valid=jnp.asarray(True),
+                                                 **kw)
+    assert int(info_f.niter) == 0
+    scale = float(jnp.max(jnp.abs(u_p)))
+    assert float(jnp.max(jnp.abs(u_f - u_p))) < 1e-4 * scale
+    assert float(jnp.max(jnp.abs(mat_f - mat_p))) < 1e-4 * float(jnp.max(jnp.abs(mat_p)))
+
+
+def test_closed_form_return_u_is_the_exact_solution():
+    """Closed-form solvers return the exact measurement-space u: feeding it
+    to the CG twin as u_init converges in zero iterations, and
+    mat == A^T u holds."""
+    rng = np.random.default_rng(67)
+    k = rng.uniform(0.1, 1, (5, 5))
+    var = jnp.asarray(0.7, jnp.float32)
+    op = get_operator(name="gaussian_blur", in_shape=(1, 3, RES, RES),
+                      sigma_s=0.3, kernel=k / k.sum())
+    x0 = _imgs(68)
+    y = op.forward(_imgs(69), noiseless=True)
+    mat_cf, u_cf = S.deblur_mat_closed_form(op, y, x0, var, return_u=True)
+    np.testing.assert_allclose(np.asarray(mat_cf), np.asarray(op.transpose(u_cf)),
+                               atol=1e-5)
+    _, info, _ = S.deblur_mat_cg(op, y, x0, theta0_var=var, rtol=1e-4,
+                                 maxiter=300, return_info=True, return_u=True,
+                                 u_init=u_cf, u_init_valid=jnp.asarray(True))
+    assert int(info.niter) == 0
+    # inpainting: u doubles as mat (A^T u = mask*u = u)
+    ip = get_operator(name="inpainting", sigma_s=0.3,
+                      mask_opt={"mask_type": "random", "image_size": RES,
+                                "mask_prob_range": (0.2, 0.4)},
+                      mask_key=jax.random.PRNGKey(3), in_shape=(1, 3, RES, RES))
+    m_ip, u_ip = S.inpainting_mat_closed_form(ip, ip.forward(_imgs(70), noiseless=True),
+                                              _imgs(71), var, return_u=True)
+    np.testing.assert_allclose(np.asarray(m_ip), np.asarray(u_ip))
+    # super-resolution: u lives on the low-res grid
+    sr = get_operator(name="super_resolution", in_shape=(1, 3, RES, RES),
+                      scale_factor=2, sigma_s=0.3)
+    y_sr = sr.forward(_imgs(72), noiseless=True)
+    m_sr, u_sr = S.sr_mat_closed_form(sr, y_sr, _imgs(73), var, return_u=True)
+    assert u_sr.shape == y_sr.shape
+    _, info_sr, _ = S.sr_mat_cg(sr, y_sr, _imgs(73), theta0_var=var, rtol=1e-4,
+                                maxiter=300, return_info=True, return_u=True,
+                                u_init=u_sr, u_init_valid=jnp.asarray(True))
+    assert int(info_sr.niter) == 0
