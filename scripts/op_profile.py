@@ -147,6 +147,7 @@ def main():
             init_denoiser_variance=1.0, init_noise_variance=80.0**2,
             data_dim=3 * res * res, cov_capacity=required_cov_capacity(xs),
             solver_type="customcuda", max_rtol=1.0, cg_maxiter=5000,
+            cg_warm_start=os.environ.get("OP_CG_WARM", "prev"),
             guidance_gradient=os.environ.get("OP_GRAD", "vjp"))
 
         @jax.jit
