@@ -29,13 +29,13 @@ OPERATOR = dict(name="gaussian_blur", kernel_size=9, intensity=1.5)
 SIGMA_Y = 0.1
 
 
-def _run(mode):
+def _run(mode, **extra_mech):
     v = make_smooth_spectrum(SHAPE, decades=4.0, v_max=30.0)
     with tempfile.TemporaryDirectory() as td:
         samples, y, op, _ = sample_linear_gaussian_posterior(
             v, img_shape=SHAPE, operator_kwargs=OPERATOR, sigma_y=SIGMA_Y,
             data_dir=td, n=256, num_steps=40,
-            mechanism_kwargs=dict(guidance_gradient=mode))
+            mechanism_kwargs=dict(guidance_gradient=mode, **extra_mech))
     A = dense_operator_matrix(op, SHAPE)
     B = idct_basis_matrix(SHAPE)
     mu, Sig = exact_posterior(A, B, v, y, SIGMA_Y)
@@ -79,6 +79,26 @@ def test_covariance_mode_matches_vjp_mode(stats):
     a, b = stats["vjp"], stats["covariance"]
     assert abs(a["trace_ratio"] - b["trace_ratio"]) < 0.15, (a, b)
     assert abs(a["mean_rel_l2"] - b["mean_rel_l2"]) < 0.05, (a, b)
+
+
+def test_cg_warm_start_prev_posterior_quality(stats):
+    """Probative quality gate for the cg_warm_start='prev' production
+    default (cross-stage CG solution recycling): against the CLOSED-FORM
+    posterior, recycling must land on the same posterior statistics as the
+    reference 'b' start — a real quality measure, unlike the random-init
+    256px throughput A/B (docs/bench/cg_warm_start_ab.json) whose PSNR is
+    noise-level by construction."""
+    s = _run("vjp", cg_warm_start="prev")
+    # absolute: the same oracle thresholds every mode must meet
+    assert s["z_max"] < 0.5, s
+    assert s["z_median"] < 0.12, s
+    assert s["mean_rel_l2"] < 0.15, s
+    assert 0.85 < s["var_ratio_median"] < 1.25, s
+    assert 0.85 < s["trace_ratio"] < 1.2, s
+    # relative: statistically indistinguishable from the 'b' start
+    b = stats["vjp"]
+    assert abs(s["trace_ratio"] - b["trace_ratio"]) < 0.15, (s, b)
+    assert abs(s["mean_rel_l2"] - b["mean_rel_l2"]) < 0.05, (s, b)
 
 
 def test_fine_schedule_stability():
