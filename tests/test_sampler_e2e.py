@@ -214,6 +214,29 @@ def test_cg_warm_start_prev_matches_b_at_tight_rtol():
     assert np.abs(xp - xb).max() < 1e-3 * scale
 
 
+def test_free_hunch_analytic_var_at_end():
+    """use_analytic_var_at_end=True (reference :273-278): below
+    mle_sigma_thres the guidance system is solved against the recon-MSE
+    analytic variance instead of the online covariance — a lax.cond branch
+    that was previously untested. The EDM schedule's final steps sit well
+    below the default 0.2 threshold, so the branch is exercised; the run
+    must stay finite in both CG warm-start modes, and at tight rtol the two
+    modes must agree (unique solutions in BOTH cond branches)."""
+    common = dict(num_steps=3, image_base_covariance="dct_diagonal_noinfo",
+                  use_analytic_var_at_end=True, max_rtol=1e-6, cg_maxiter=500)
+    xb = _run("online_covariance", "gaussian_blur", **common)
+    assert np.abs(xb).max() < 50
+    xp = _run("online_covariance", "gaussian_blur", cg_warm_start="prev",
+              **common)
+    scale = np.abs(xb).max()
+    assert np.abs(xp - xb).max() < 1e-3 * scale
+    # the covariance fast mode's analytic-regime gradient (var*mat/sigma^2)
+    # rides the same cond — run it once for coverage
+    xc = _run("online_covariance", "gaussian_blur",
+              guidance_gradient="covariance", **common)
+    assert np.isfinite(xc).all()
+
+
 def test_cg_warm_start_validates():
     op = _operator("inpainting")
     mech = choose_conditioning_mechanism("online_covariance")(
