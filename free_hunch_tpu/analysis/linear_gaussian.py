@@ -102,10 +102,13 @@ def sample_linear_gaussian_posterior(
         n: int = 128, num_steps: int = 40, sigma_max: float = 80.0,
         key=None, mechanism_kwargs: Optional[dict] = None):
     """Run the PRODUCTION pipeline (FreeHunch dct_diagonal + EDM Heun scan)
-    on the linear-Gaussian problem. Returns (samples (n, d), y (d,), op).
+    on the linear-Gaussian problem. Returns
+    ``(samples (n, d), y (m,), op, x_true (d,))``.
 
     ``data_dir`` receives a ``dct_variance.npz`` so the mechanism loads the
-    prior exactly the way the CLI path does.
+    prior exactly the way the CLI path does. The measurement y is broadcast
+    over the sample batch in ITS OWN shape, so operators whose measurement
+    grid differs from the image grid (super_resolution) work too.
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     np.savez(os.path.join(data_dir, "dct_variance.npz"),
@@ -138,7 +141,7 @@ def sample_linear_gaussian_posterior(
         sigma_min=2e-3, sigma_max=sigma_max)
 
     noise = jax.random.normal(jax.random.fold_in(key, 2), (n,) + tuple(img_shape))
-    y_b = jnp.broadcast_to(y, (n,) + tuple(img_shape))
+    y_b = jnp.broadcast_to(y, (n,) + tuple(y.shape[1:]))
 
     run = jax.jit(lambda nz, yv, k: sample_scan(
         denoise, mech, nz, yv, xs, k, sigma0_scaled=sigma0_scaled))

@@ -38,8 +38,25 @@ class StandardRGBEncoder(Encoder):
 #: published sd-vae-ft-mse weights.
 import os
 
-VAE_WEIGHTS = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
-                           "models", "sd_vae_ft_mse.npz")
+def _vae_weights_path() -> str:
+    """Resolve the converted SD-VAE weights file: the ``VAE_WEIGHTS`` env var
+    (the LPIPS_WEIGHTS/FID_WEIGHTS convention), then the repo-relative
+    ``models/`` dir (source checkout), then cwd ``models/`` (the repo-relative
+    path points into site-packages' parent for a pip-installed package, where
+    no user file can live)."""
+    env = os.environ.get("VAE_WEIGHTS")
+    if env:
+        return env
+    repo_rel = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), os.pardir, os.pardir,
+        "models", "sd_vae_ft_mse.npz"))
+    if os.path.exists(repo_rel):
+        return repo_rel
+    cwd_rel = os.path.abspath(os.path.join("models", "sd_vae_ft_mse.npz"))
+    return cwd_rel if os.path.exists(cwd_rel) else repo_rel
+
+
+VAE_WEIGHTS = _vae_weights_path()
 
 
 class StabilityVAEEncoder(Encoder):
@@ -84,7 +101,7 @@ class StabilityVAEEncoder(Encoder):
         if params is not None:
             self._params = params
         else:
-            path = os.path.abspath(VAE_WEIGHTS)
+            path = os.path.abspath(_vae_weights_path())
             if not os.path.exists(path):
                 raise RuntimeError(
                     "StabilityVAEEncoder needs the converted SD-VAE weights "
@@ -101,6 +118,8 @@ class StabilityVAEEncoder(Encoder):
     def _batched(self, fn, x):
         outs = [fn(self._params, x[i:i + self.batch_size])
                 for i in range(0, x.shape[0], self.batch_size)]
+        if not outs:  # empty batch: probe the output structure at size 0
+            return fn(self._params, x)
         if isinstance(outs[0], tuple):
             return tuple(jnp.concatenate([o[k] for o in outs])
                          for k in range(len(outs[0])))
@@ -124,6 +143,14 @@ class StabilityVAEEncoder(Encoder):
         import jax
         mean, std = jnp.split(jnp.asarray(x, jnp.float32), 2, axis=1)
         if key is None:
+            if isinstance(mean, jax.core.Tracer):
+                # under jit the split below would execute ONCE at trace time
+                # and bake a constant key in — every call would then reuse the
+                # identical noise pattern, silently. Fail loudly instead.
+                raise ValueError(
+                    "StabilityVAEEncoder.encode/encode_latents under jit "
+                    "requires an explicit `key` (the internal stream cannot "
+                    "advance inside a traced function)")
             if not hasattr(self, "_rng"):
                 self._rng = jax.random.PRNGKey(0)
             self._rng, key = jax.random.split(self._rng)

@@ -266,7 +266,15 @@ class Evaluator:
         ops — their outputs can neither transfer to the host nor feed later
         computations reliably."""
         self._decode = jax.jit(self.encoder.decode)
-        self._encode = jax.jit(self.encoder.encode)
+        # stochastic encoders (the SD-VAE samples its latent posterior) take
+        # an explicit key: a keyless encode under jit would freeze its
+        # internal RNG split at trace time and reuse the same noise forever
+        import inspect
+        if "key" in inspect.signature(self.encoder.encode).parameters:
+            self._encode = jax.jit(lambda x, k: self.encoder.encode(x, key=k))
+        else:
+            _enc = jax.jit(self.encoder.encode)
+            self._encode = lambda x, k=None: _enc(x)
         res = self.res
 
         def gen_noise(seeds):
@@ -368,7 +376,11 @@ class Evaluator:
                 labs.append(lab)
             cond_u8 = np.stack(imgs)  # (b, C, H, W) uint8
             cond_rep = np.repeat(cond_u8, n_seeds, axis=0)
-            cond_latents = self._encode(jnp.asarray(cond_rep))
+            # encode key: a pure function of the batch counter, so a resumed
+            # run (which also advances n_batches on replay) stays aligned
+            cond_latents = self._encode(
+                jnp.asarray(cond_rep),
+                jax.random.fold_in(self.key, 500_000 + n_batches))
             # class-conditional models: onehot labels -> class indices,
             # repeated per seed; unconditional datasets carry empty labels
             labels = None

@@ -505,6 +505,10 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     if name not in _CLOSED:
         raise ValueError(f"no mat solver for operator {name!r}; expected one of "
                          f"{sorted(_CLOSED)}")
+    if return_u and not return_info:
+        # the 3-tuple contract supersedes return_info; requiring both keeps
+        # every branch's return structure identical (lax.cond-safe)
+        raise ValueError("return_u=True requires return_info=True")
     if cg_coords == "auto":
         cg_coords = "fourier" if jax.default_backend() == "cpu" else "pixel"
     cg_table = dict(_CG)

@@ -81,8 +81,13 @@ def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
         # cache the random init: re-initialising 552M params costs minutes
         # per process (init compile + device->host round trips), and
         # benchmarks/profilers reload the same model repeatedly. Keyed by
-        # seed so different-seed requests don't collide.
-        rcache = (f"{state_dict_path}.random{rng_seed}.npz"
+        # seed AND an architecture fingerprint: the same missing .pt path can
+        # be paired with different setup files, and a cache hit for the wrong
+        # topology would hand back wrong-shaped params.
+        import hashlib
+        arch = hashlib.md5(repr(sorted(model_args.items()))
+                           .encode()).hexdigest()[:10]
+        rcache = (f"{state_dict_path}.random{rng_seed}.{arch}.npz"
                   if state_dict_path else None)
         rcached = _try_load_cache(rcache)
         if rcached is not None:

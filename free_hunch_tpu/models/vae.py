@@ -178,8 +178,10 @@ class Decoder(nn.Module):
 
 
 class AutoencoderKL(nn.Module):
-    """encode: pixels (NCHW, [-1,1]) -> (mean, std) of the diagonal-Gaussian
-    latent posterior; decode: latents (NCHW) -> pixels. Matches diffusers'
+    """encode: pixels (NCHW, scaled to [0,1] — the reference feeds x/255,
+    ``training/encoders.py:103``, and ``StabilityVAEEncoder.encode_pixels``
+    does the same) -> (mean, std) of the diagonal-Gaussian latent posterior;
+    decode: latents (NCHW) -> pixels in [0,1]. Matches diffusers'
     ``AutoencoderKL.encode().latent_dist`` / ``.decode().sample``."""
     cfg: VAEConfig = VAEConfig()
 

@@ -67,3 +67,35 @@ def test_transient_load_failure_keeps_cache(tmp_path, monkeypatch):
     out = loading._try_load_cache(path)  # intact cache loads next time
     np.testing.assert_array_equal(np.asarray(out["block"]["w"]),
                                   _params()["block"]["w"])
+
+
+def test_random_init_cache_keyed_by_architecture(tmp_path):
+    """The random-init cache must miss when the setup (architecture) changes
+    for the same missing .pt path — a hit would return wrong-shaped params
+    (the cache used to be keyed by (path, seed) only)."""
+    import jax
+    from free_hunch_tpu.models.loading import load_model
+
+    setup_a = str(tmp_path / "a.txt")
+    setup_b = str(tmp_path / "b.txt")
+    base = ("--channel_mult 1,2 --attention_resolutions 8 --class_cond False "
+            "--diffusion_steps 1000 --dropout 0.0 --image_size 32 "
+            "--learn_sigma True --noise_schedule linear --num_channels {nc} "
+            "--num_head_channels 16 --num_res_blocks 1 --resblock_updown True "
+            "--use_fp16 False --use_scale_shift_norm True "
+            "--use_new_attention_order False")
+    with open(setup_a, "w") as f:
+        f.write(base.format(nc=32))
+    with open(setup_b, "w") as f:
+        f.write(base.format(nc=64))
+    missing_pt = str(tmp_path / "none.pt")
+
+    _, pa, _ = load_model(missing_pt, setup_a, init_random_if_missing=True)
+    _, pb, _ = load_model(missing_pt, setup_b, init_random_if_missing=True)
+    la = jax.tree_util.tree_leaves(pa)
+    lb = jax.tree_util.tree_leaves(pb)
+    assert {tuple(x.shape) for x in la} != {tuple(x.shape) for x in lb}
+    # same setup again: served from cache, bit-identical
+    _, pa2, _ = load_model(missing_pt, setup_a, init_random_if_missing=True)
+    for x, y2 in zip(la, jax.tree_util.tree_leaves(pa2)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y2))

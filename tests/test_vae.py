@@ -326,3 +326,21 @@ def test_keyless_encode_latents_draws_fresh_noise():
     k = jax.random.PRNGKey(5)
     np.testing.assert_array_equal(np.asarray(enc.encode_latents(raw, key=k)),
                                   np.asarray(enc.encode_latents(raw, key=k)))
+
+
+def test_keyless_encode_under_jit_raises():
+    """A keyless encode_latents under jit would freeze the internal RNG split
+    at trace time and reuse the identical noise forever (the eval driver jits
+    the installed encoder); the encoder must fail loudly instead."""
+    import pytest
+    enc = StabilityVAEEncoder(batch_size=2)
+    raw = np.concatenate([np.zeros((1, 4, 8, 8), np.float32),
+                          np.ones((1, 4, 8, 8), np.float32)], axis=1)
+    with pytest.raises(ValueError, match="explicit `key`"):
+        jax.jit(enc.encode_latents)(raw)
+    # the driver's keyed jit path works and is key-deterministic
+    k = jax.random.PRNGKey(9)
+    f = jax.jit(lambda x, kk: enc.encode_latents(x, key=kk))
+    np.testing.assert_array_equal(np.asarray(f(raw, k)), np.asarray(f(raw, k)))
+    assert np.abs(np.asarray(f(raw, k))
+                  - np.asarray(f(raw, jax.random.PRNGKey(10)))).max() > 1e-3
