@@ -109,6 +109,21 @@ class ConditioningMechanism:
     def _bump(self, state):
         return state._replace(step=state.step + 1)
 
+    def _solve_and_guide(self, x0, pullback, y, sigma, state, theta0_var,
+                         scale=None, **solver_kw):
+        """Shared stateless-mechanism tail (reference :83,:108,:130,:149):
+        solve ``(A C A^T + sigma_s^2 I) u = y - A x0`` for ``mat = A^T u``,
+        pull the guidance gradient back through the denoiser, apply
+        ``x0 + grad * scale * sigma^2``, and record the solve on the state."""
+        mat, info = choose_solver(self.forward_operator, y, x0,
+                                  theta0_var=theta0_var, method="scipy",
+                                  max_rtol=self.max_rtol,
+                                  maxiter=self.cg_maxiter, return_info=True,
+                                  **solver_kw)
+        grad = pullback(jax.lax.stop_gradient(mat))
+        s = self.cond_scaling if scale is None else scale
+        return x0 + grad * s * sigma**2, _record_cg(self._bump(state), info)
+
 
 def _denoise_with_vjp(denoise, x_t, sigma):
     """One forward through the denoiser; returns (x0_mean, x0_var, pullback)
@@ -145,12 +160,9 @@ class PiGDM(ConditioningMechanism):
     def x0_mean_update(self, denoise, x_t, y, sigma, state):
         x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
         x0_var = sigma**2 / (1 + sigma**2)
-        mat, info = choose_solver(self.forward_operator, y, x0, theta0_var=x0_var,
-                                  method="scipy", max_rtol=self.max_rtol,
-                                  maxiter=self.cg_maxiter, return_info=True)
-        grad = pullback(jax.lax.stop_gradient(mat))
         scale = (x0_var if self.pigdm_posthoc_scaling else 1.0) * self.cond_scaling
-        return x0 + grad * scale * sigma**2, _record_cg(self._bump(state), info)
+        return self._solve_and_guide(x0, pullback, y, sigma, state, x0_var,
+                                     scale=scale)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,12 +172,7 @@ class PiGDMVideodiffSchedule(ConditioningMechanism):
 
     def x0_mean_update(self, denoise, x_t, y, sigma, state):
         x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
-        mat, info = choose_solver(self.forward_operator, y, x0, theta0_var=sigma**2,
-                                  method="scipy", max_rtol=self.max_rtol,
-                                  maxiter=self.cg_maxiter, return_info=True)
-        grad = pullback(jax.lax.stop_gradient(mat))
-        return (x0 + grad * self.cond_scaling * sigma**2,
-                _record_cg(self._bump(state), info))
+        return self._solve_and_guide(x0, pullback, y, sigma, state, sigma**2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -180,12 +187,7 @@ class PengConvert(ConditioningMechanism):
         mle_var = sigma**2 / (1 + sigma**2)
         var = jnp.where(sigma < self.mle_sigma_thres, x0_var,
                         jnp.broadcast_to(mle_var, x0_var.shape))
-        mat, info = choose_solver(self.forward_operator, y, x0, theta0_var=var,
-                                  method="scipy", max_rtol=self.max_rtol,
-                                  maxiter=self.cg_maxiter, return_info=True)
-        grad = pullback(jax.lax.stop_gradient(mat))
-        return (x0 + grad * self.cond_scaling * sigma**2,
-                _record_cg(self._bump(state), info))
+        return self._solve_and_guide(x0, pullback, y, sigma, state, var)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -205,12 +207,7 @@ class PengAnalytic(ConditioningMechanism):
         idx = jnp.argmin(jnp.abs(sigmas - sigma))
         var = jnp.where(sigma < self.mle_sigma_thres, mses[idx],
                         sigma**2 / (1 + sigma**2))
-        mat, info = choose_solver(self.forward_operator, y, x0, theta0_var=var,
-                                  method="scipy", max_rtol=self.max_rtol,
-                                  maxiter=self.cg_maxiter, return_info=True)
-        grad = pullback(jax.lax.stop_gradient(mat))
-        return (x0 + grad * self.cond_scaling * sigma**2,
-                _record_cg(self._bump(state), info))
+        return self._solve_and_guide(x0, pullback, y, sigma, state, var)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -223,14 +220,9 @@ class TMPD(ConditioningMechanism):
     def x0_mean_update(self, denoise, x_t, y, sigma, state):
         x0, _, pullback = _denoise_with_vjp(denoise, x_t, sigma)
         x0_var = pullback(jnp.ones_like(x0)) * sigma**2
-        mat, info = choose_solver(self.forward_operator, y, x0,
-                                  theta0_var=jax.lax.stop_gradient(x0_var),
-                                  method="scipy", max_rtol=self.max_rtol,
-                                  sigma_t=sigma, use_rtol_func=True,
-                                  maxiter=self.cg_maxiter, return_info=True)
-        grad = pullback(jax.lax.stop_gradient(mat))
-        return (x0 + grad * self.cond_scaling * sigma**2,
-                _record_cg(self._bump(state), info))
+        return self._solve_and_guide(x0, pullback, y, sigma, state,
+                                     jax.lax.stop_gradient(x0_var),
+                                     sigma_t=sigma, use_rtol_func=True)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -626,11 +618,19 @@ class FreeHunch(ConditioningMechanism):
             analytic_case = sigma < self.mle_sigma_thres
 
             def analytic_mat(_):
+                # forward the mechanism's CG knobs (precondition/stall/
+                # track_best/rtol_floor): defaults here would silently
+                # re-enable behaviours that reference-exact configs disable
                 return choose_solver(
                     self.forward_operator, y, x0_a,
                     theta0_var=jnp.broadcast_to(var, x0.shape).astype(adt),
                     method="scipy", max_rtol=self.max_rtol,
-                    maxiter=self.cg_maxiter, return_info=True, **recycle_kw)
+                    sigma_t=sigma, use_rtol_func=self.use_rtol_func,
+                    maxiter=self.cg_maxiter, return_info=True,
+                    precondition=self.cg_precondition,
+                    stall_iters=self.cg_stall_iters,
+                    rtol_floor=self.rtol_floor,
+                    track_best=self.cg_track_best, **recycle_kw)
 
             solved = jax.lax.cond(analytic_case, analytic_mat, cov_mat, None)
         else:
@@ -650,13 +650,15 @@ class FreeHunch(ConditioningMechanism):
         # gradient (reference's commented-out alternative :283).
         mat_sg = jax.lax.stop_gradient(mat)
         fallback = (self.cov_matvec_pixel(cov, mat_sg) / sigma**2).astype(jnp.float32)
+        if self.use_analytic_var_at_end:
+            # in the low-sigma analytic regime mat was solved against var*I,
+            # so the matching covariance product is var*mat/sigma^2 — EVERY
+            # non-vjp gradient path below must use this form there (a plain
+            # Sigma_0 product would be off by ~Sigma_0/var on those steps)
+            analytic_grad = (var * mat_sg / sigma**2).astype(jnp.float32)
+            fallback = jnp.where(analytic_case, analytic_grad, fallback)
         if self.guidance_gradient == "covariance":
             grad = fallback
-            if self.use_analytic_var_at_end:
-                # in the low-sigma analytic regime mat was solved against
-                # var*I, so the matching covariance product is var*mat/sigma^2
-                analytic_grad = (var * mat_sg / sigma**2).astype(jnp.float32)
-                grad = jnp.where(analytic_case, analytic_grad, grad)
         elif self.guidance_gradient == "hybrid":
             def guarded_pullback(m32):
                 # same large-update fallback as the vjp branch (reference
@@ -686,11 +688,15 @@ class FreeHunch(ConditioningMechanism):
         update = jnp.where(jnp.isfinite(update), update, 0.0)
         x0_new = x0 + update
 
-        new_state = FreeHunchState(
+        # sanitize the recycled solution: a non-finite CG iterate stored into
+        # prev_u would poison EVERY later solve's starting point (x0=NaN never
+        # recovers, unlike the per-step graceful degradation above) — zeroed
+        # entries simply fall back to a cold start contribution
+        u_next = jnp.where(jnp.isfinite(u_next), u_next, 0.0)
+        new_state = _record_cg(FreeHunchState(
             cov=self._constrain_cov(cov), prev_sigma=sigma, prev_x=x_t,
             prev_mean=x0_a, prev_u=u_next.astype(self._adt),
             step=state.step + 1,
-            cg_niter=jnp.asarray(cg_info.niter, jnp.int32),
-            cg_resnorm=jnp.mean(cg_info.residual_norm).astype(jnp.float32),
-            cg_optfrac=jnp.mean(cg_info.optimal.astype(jnp.float32)))
+            cg_niter=state.cg_niter, cg_resnorm=state.cg_resnorm,
+            cg_optfrac=state.cg_optfrac), cg_info)
         return x0_new, new_state

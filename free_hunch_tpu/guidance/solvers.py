@@ -144,8 +144,14 @@ def _mean_variance(theta0_var, cov_trace_mean, x_like):
         return None
     t = jnp.asarray(theta0_var, x_like.dtype)
     if t.ndim == 0:
-        return jnp.broadcast_to(t, (x_like.shape[0],))
-    return jnp.mean(t.reshape(x_like.shape[0], -1), axis=-1)
+        v = jnp.broadcast_to(t, (x_like.shape[0],))
+    else:
+        v = jnp.mean(t.reshape(x_like.shape[0], -1), axis=-1)
+    # same SPD floor as the cov_trace_mean branch: a per-pixel theta0_var can
+    # be sign-indefinite (TMPD's Jacobian row sums), and a negative v_bar
+    # would make the preconditioner indefinite / put a zero crossing in the
+    # Fourier denominator
+    return jnp.maximum(v, jnp.asarray(1e-8, x_like.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -415,12 +421,21 @@ def inpainting_mat_cg(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         v = _apply_c(mask * u, theta0_var, cov_mv)
         return sigma_s**2 * u + mask * v
 
-    vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean) \
-        if precondition else None
     precond = None
-    if vbar is not None:
-        denom = sigma_s**2 + vbar[:, None, None, None] * mask
-        precond = lambda r: r / denom
+    if precondition:
+        if theta0_var is not None and jnp.ndim(theta0_var) > 0:
+            # diagonal C: the system diagonal sigma_s^2 + mask*diag(C) is
+            # available elementwise at zero cost — the exact Jacobi
+            # preconditioner (a scalar mean would be wrong by the variance's
+            # per-pixel dynamic range, e.g. TMPD's)
+            tv = jnp.maximum(jnp.asarray(theta0_var, x0_mean.dtype), 1e-8)
+            denom = sigma_s**2 + tv * mask
+            precond = lambda r: r / denom
+        else:
+            vbar = _mean_variance(theta0_var, cov_trace_mean, x0_mean)
+            if vbar is not None:
+                denom = sigma_s**2 + vbar[:, None, None, None] * mask
+                precond = lambda r: r / denom
 
     b = mask * y - mask * x0_mean
     mat, info = _run_cg(matvec, b, rtol, maxiter, precond=precond,
@@ -509,6 +524,12 @@ def choose_solver(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
         # the 3-tuple contract supersedes return_info; requiring both keeps
         # every branch's return structure identical (lax.cond-safe)
         raise ValueError("return_u=True requires return_info=True")
+    if method not in ("closed_form", "scipy", "cg", "customcuda",
+                      "customscipy"):
+        # a typo'd solver_type must not silently fall through to the loose
+        # scipy-budget path (rtol 1e-4, maxiter 1000, no reference warm start)
+        raise ValueError(f"unknown solver method {method!r}; expected "
+                         "closed_form | scipy | cg | customcuda | customscipy")
     if cg_coords == "auto":
         cg_coords = "fourier" if jax.default_backend() == "cpu" else "pixel"
     cg_table = dict(_CG)

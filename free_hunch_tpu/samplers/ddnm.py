@@ -179,10 +179,14 @@ def ddnm_conditional_sampler(eps_fn: Callable, noise: jnp.ndarray,
                              cond_images: jnp.ndarray, operator_kwargs: dict,
                              noise_kwargs: dict, *, num_steps: int = 18,
                              eta: float = 1.0, rng_key=None, mask_key=None,
+                             travel_length: int = 1, travel_repeat: int = 1,
                              **other):
     """Interface twin of the EDM conditional sampler (reference :10-67):
     builds the SVD operator, takes the measurement y = A x + sigma_y eps,
-    runs DDNM+, returns (x, [x0_last], y_for_output)."""
+    runs DDNM+, returns (x, [x0_last], y_for_output). The RePaint time-travel
+    schedule knobs (travel_length/travel_repeat) forward to ``ddnm_sample``;
+    remaining **other keys are the EDM sampler options the DDNM path ignores
+    by design (reference custom_ddnm_sampling.py takes the same superset)."""
     img_dim = noise.shape[-1]
     b = noise.shape[0]
     a_funcs = build_svd_operator(operator_kwargs, img_dim, mask_key=mask_key)
@@ -207,5 +211,7 @@ def ddnm_conditional_sampler(eps_fn: Callable, noise: jnp.ndarray,
 
     x, x_all = ddnm_sample(eps_fn, a_funcs, noise, y, num_steps=num_steps,
                            sigma_y=sigma_y, eta=eta,
+                           travel_length=travel_length,
+                           travel_repeat=travel_repeat,
                            rng_key=jax.random.fold_in(rng_key, 1))
     return x, x_all, y_for_output

@@ -248,3 +248,43 @@ def test_cg_warm_start_validates():
     x = jnp.zeros((1, 3, RES, RES))
     with pytest.raises(ValueError, match="cg_warm_start"):
         mech(denoise, x, op.forward(x, noiseless=True), 2.0, state)
+
+
+def test_prev_u_nan_does_not_poison_the_chain():
+    """A non-finite recycled CG solution must not poison every later solve:
+    the mechanism zeroes non-finite entries before storing prev_u, so the
+    next stage falls back to a cold start instead of starting at NaN."""
+    op = _operator("gaussian_blur")
+    mech = choose_conditioning_mechanism("online_covariance")(
+        cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
+        init_denoiser_variance=1.0, init_noise_variance=4.0,
+        data_dim=3 * RES * RES, cov_capacity=8, cg_warm_start="prev",
+        cg_maxiter=20)
+    state = mech.init_state(BATCH, (3, RES, RES))
+    state = state._replace(prev_u=jnp.full_like(state.prev_u, jnp.nan),
+                           step=jnp.asarray(1, jnp.int32))  # marks u "valid"
+    _, denoise = _net()
+    x = jnp.zeros((BATCH, 3, RES, RES))
+    y = op.forward(x, noiseless=True)
+    x0_new, new_state = mech(denoise, x, y, 2.0, state)
+    assert np.isfinite(np.asarray(new_state.prev_u)).all()
+    assert np.isfinite(np.asarray(x0_new)).all()
+    # and the recovered carry produces a normal solve on the following call
+    x0_2, s2 = mech(denoise, x, y, 1.5, new_state)
+    assert np.isfinite(np.asarray(x0_2)).all()
+    assert np.isfinite(np.asarray(s2.prev_u)).all()
+
+
+def test_hybrid_never_vjp_equals_covariance_mode_with_analytic_var():
+    """guidance_gradient='hybrid' with guidance_vjp_below=0 never takes the
+    pullback branch, so it must match 'covariance' mode exactly — INCLUDING
+    in the low-sigma analytic regime, where the matching product is
+    var*mat/sigma^2 (the hybrid fallback used to apply Sigma_0*mat/sigma^2
+    to a mat solved against var*I there)."""
+    common = dict(num_steps=3, image_base_covariance="dct_diagonal_noinfo",
+                  use_analytic_var_at_end=True, cg_maxiter=50)
+    xc = _run("online_covariance", "gaussian_blur",
+              guidance_gradient="covariance", **common)
+    xh = _run("online_covariance", "gaussian_blur",
+              guidance_gradient="hybrid", guidance_vjp_below=0.0, **common)
+    np.testing.assert_allclose(xh, xc, atol=1e-5)
