@@ -93,7 +93,8 @@ class ImageFolderDataset:
             return self._cache[raw_idx]
         with self._open(self._files[raw_idx]) as f:
             img = np.array(PIL.Image.open(f).convert("RGB"))
-        if self.resolution is not None and img.shape[0] != self.resolution:
+        if self.resolution is not None and (img.shape[0] != self.resolution
+                                            or img.shape[1] != self.resolution):
             img = np.array(PIL.Image.fromarray(img).resize(
                 (self.resolution, self.resolution), PIL.Image.LANCZOS))
         chw = img.transpose(2, 0, 1)  # HWC -> CHW uint8

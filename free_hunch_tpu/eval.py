@@ -95,6 +95,12 @@ class Evaluator:
         dist_init()
         self.rank, self.world = get_rank(), get_world_size()
         self.key = set_random_seed(int(opts.get("seed", 0)), self.rank)
+        # disjoint key domains per purpose: fold_in(k, i) == split(k)[i] for
+        # threefry, so folding raw indices into ONE key collides across
+        # purposes once counters overlap (e.g. batch 1000+g vs mask key g)
+        self._key_mask = jax.random.fold_in(self.key, 0)
+        self._key_batch = jax.random.fold_in(self.key, 1)
+        self._key_enc = jax.random.fold_in(self.key, 2)
         self.mesh = make_mesh(opts.get("mesh_shape", "data:-1"))
 
         # --- model ----------------------------------------------------------
@@ -125,9 +131,13 @@ class Evaluator:
             # reference config default -> our dataset class
             ds_name = "free_hunch_tpu.data.dataset.ImageFolderDataset"
         from free_hunch_tpu.utils.dynamic import construct_class_by_name
+        # class-conditional checkpoints need dataset.json labels loaded —
+        # without use_labels=True get_label returns empty arrays and every
+        # sample would silently condition on class 0
+        use_labels = bool(model_args.get("class_cond"))
         self.dataset = construct_class_by_name(
             class_name=ds_name, path=opts["dataset_path"],
-            resolution=self.res, return_idx=True)
+            resolution=self.res, return_idx=True, use_labels=use_labels)
         total = opts.get("total_images") or len(self.dataset)
         total = min(total, len(self.dataset))
         self.indices = shard_indices(total, self.world, self.rank)
@@ -380,7 +390,7 @@ class Evaluator:
             # run (which also advances n_batches on replay) stays aligned
             cond_latents = self._encode(
                 jnp.asarray(cond_rep),
-                jax.random.fold_in(self.key, 500_000 + n_batches))
+                jax.random.fold_in(self._key_enc, n_batches))
             # class-conditional models: onehot labels -> class indices,
             # repeated per seed; unconditional datasets carry empty labels
             labels = None
@@ -392,8 +402,8 @@ class Evaluator:
                                     for s in self.seeds], jnp.int32)
             noise = self._gen_noise(seed_arr)
             op = self._make_operator(
-                [jax.random.fold_in(self.key, 1000 + g) for g in gidx])
-            batch_key = jax.random.fold_in(self.key, n_batches)
+                [jax.random.fold_in(self._key_mask, g) for g in gidx])
+            batch_key = jax.random.fold_in(self._key_batch, n_batches)
 
             data_axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)
                              ).get("data", 1)
@@ -451,8 +461,11 @@ class Evaluator:
         elapsed = time.time() - t0
         totals = _process_mean(acc.means(), acc.count)
         totals["time_taken"] = elapsed
-        totals["images"] = len(self.indices) * n_seeds
-        totals["resumed_batches"] = n_resumed
+        # global counts (psnr/ssim/lpips above are cross-process means; a
+        # rank-local image count next to them would under-report by world
+        # size). time_taken stays rank-local wall clock, like the reference's.
+        totals["images"] = _process_sum(len(self.indices) * n_seeds)
+        totals["resumed_batches"] = _process_sum(n_resumed)
         totals["lpips_is_proxy"] = bool(getattr(self._lpips, "is_proxy", False))
         if self._fid is not None:
             st = self._fid["stats"]
@@ -494,6 +507,15 @@ class MetricAccumulator:
     def means(self) -> dict:
         d = max(self.count, 1)
         return {n: s / d for n, s in self.sums.items()}
+
+
+def _process_sum(n: int) -> int:
+    """Sum a rank-local integer across processes."""
+    if get_world_size() > 1:
+        from jax.experimental import multihost_utils
+        return int(np.asarray(multihost_utils.process_allgather(
+            np.asarray([float(n)]))).sum())
+    return int(n)
 
 
 def _process_mean(means: dict, n_samples: int) -> dict:

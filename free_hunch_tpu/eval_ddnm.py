@@ -54,7 +54,11 @@ class DDNMEvaluator(Evaluator):
     def _make_operator(self, batch_keys):
         if self._svd_template is not None:
             return self._svd_template
-        # fresh random mask per batch image; all seed replicas of the batch
-        # share one mask set, matching the per-image reference behaviour
-        return build_svd_operator(self.operator_kwargs, self.res,
-                                  mask_key=batch_keys[0])
+        # fresh random mask PER IMAGE (reference: fresh operator per image),
+        # each repeated across its seed replicas — the batched Inpainting
+        # carries per-row permutations, mirroring the base Evaluator's
+        # per-image mask pytree
+        from free_hunch_tpu.operators.svd import create_inpainting_operator
+        return create_inpainting_operator(
+            3, self.res, self.operator_kwargs["mask_opt"],
+            mask_key=list(batch_keys), repeats=len(self.seeds))

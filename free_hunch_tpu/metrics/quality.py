@@ -36,7 +36,11 @@ def _uniform_filter(x: jnp.ndarray, win: int) -> jnp.ndarray:
     k = jnp.ones((win, win), x.dtype) / (win * win)
     lead = x.shape[:-2]
     flat = x.reshape((-1, 1) + x.shape[-2:])
-    out = jax.lax.conv_general_dilated(flat, k[None, None], (1, 1), "VALID")
+    # HIGHEST: the TPU default decomposes f32 convs into bf16 passes (~1e-3
+    # relative), which is visible at SSIM's reported precision; this is a
+    # metric, not a hot path
+    out = jax.lax.conv_general_dilated(flat, k[None, None], (1, 1), "VALID",
+                                       precision=jax.lax.Precision.HIGHEST)
     return out.reshape(lead + out.shape[-2:])
 
 
@@ -69,11 +73,11 @@ def ssim(ref: jnp.ndarray, img: jnp.ndarray, data_range: float = 255.0,
     C2 = (K2 * data_range) ** 2
     S = ((2 * ux * uy + C1) * (2 * vxy + C2)
          / ((ux**2 + uy**2 + C1) * (vx + vy + C2)))
-    # skimage additionally crops (win_size-1)//2 off each side of the valid
-    # map before averaging
-    pad = (win_size - 1) // 2
-    if pad and S.shape[-1] > 2 * pad:
-        S = S[..., pad:-pad, pad:-pad]
+    # skimage crops (win_size-1)//2 off each side of its FULL-size S map
+    # before averaging; the VALID-mode convolution above has already produced
+    # exactly that cropped region, so no further crop is applied (a second
+    # crop here used to shrink the mean to the (H-4p, W-4p) interior and
+    # shift every reported SSIM off skimage's value).
     return jnp.mean(S)
 
 

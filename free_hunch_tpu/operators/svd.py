@@ -62,7 +62,7 @@ class AFunctions:
     def A(self, vec):
         s = self.singulars()
         temp = self.Vt(vec)
-        return self.U(s * temp[:, :s.shape[0]])
+        return self.U(s * temp[:, :s.shape[-1]])
 
     def A_with_zeros(self, vec):
         return self.V(self.add_zeros(self.A(vec)))
@@ -70,20 +70,20 @@ class AFunctions:
     def At(self, vec):
         s = self.singulars()
         temp = self.Ut(vec)
-        return self.V(self.add_zeros(s * temp[:, :s.shape[0]]))
+        return self.V(self.add_zeros(s * temp[:, :s.shape[-1]]))
 
     def A_pinv(self, vec):
         s = self.singulars()
         factors = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
         temp = self.Ut(vec)
-        temp = temp.at[:, :s.shape[0]].multiply(factors)
+        temp = temp.at[:, :s.shape[-1]].multiply(factors)
         return self.V(self.add_zeros(temp))
 
     def A_pinv_eta(self, vec, eta):
         s = self.singulars()
         factors = s / (s * s + eta)
         temp = self.Ut(vec)
-        temp = temp.at[:, :s.shape[0]].multiply(factors)
+        temp = temp.at[:, :s.shape[-1]].multiply(factors)
         return self.V(self.add_zeros(temp))
 
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
@@ -182,18 +182,40 @@ class Inpainting(AFunctions):
     one compiled sampler, and the operator is a jit-traversable pytree."""
 
     def __init__(self, channels, img_dim, missing_indices):
+        """``missing_indices``: one index array for a mask shared by the whole
+        batch (reference semantics, batch 1), or a LIST of per-row index
+        arrays for per-image masks — rows must align with the batch rows of
+        every vector passed in. Per-row masks keep all shapes static (the
+        padded-singulars trick), so both layouts share one compilation."""
         self.channels = channels
         self.img_dim = img_dim
         n = channels * img_dim**2
         self._n = n
-        missing = np.asarray(missing_indices, np.int64)
-        kept = np.setdiff1d(np.arange(n), missing)
-        perm = np.concatenate([kept, missing])
-        self._perm = jnp.asarray(perm)
-        self._inv_perm = jnp.asarray(np.argsort(perm))
-        svals = np.zeros(n, np.float32)
-        svals[: kept.shape[0]] = 1.0
-        self._singulars = jnp.asarray(svals)
+
+        def one(missing):
+            missing = np.asarray(missing, np.int64)
+            kept = np.setdiff1d(np.arange(n), missing)
+            perm = np.concatenate([kept, missing])
+            svals = np.zeros(n, np.float32)
+            svals[: kept.shape[0]] = 1.0
+            return perm, np.argsort(perm), svals
+
+        if isinstance(missing_indices, (list, tuple)):
+            perms, invs, svs = zip(*(one(m) for m in missing_indices))
+            self._perm = jnp.asarray(np.stack(perms))
+            self._inv_perm = jnp.asarray(np.stack(invs))
+            self._singulars = jnp.asarray(np.stack(svs))
+        else:
+            perm, inv, svals = one(missing_indices)
+            self._perm = jnp.asarray(perm)
+            self._inv_perm = jnp.asarray(inv)
+            self._singulars = jnp.asarray(svals)
+
+    @staticmethod
+    def _gather(vec, idx):
+        if idx.ndim == 1:
+            return vec[:, idx]
+        return jnp.take_along_axis(vec, idx, axis=1)
 
     # channel-last pixel ordering helpers (reference reshape/permute pattern)
     def _to_pixel_last(self, vec):
@@ -206,12 +228,12 @@ class Inpainting(AFunctions):
 
     def V(self, vec):
         temp = vec.reshape(vec.shape[0], -1)
-        out = temp[:, self._inv_perm]
+        out = self._gather(temp, self._inv_perm)
         return self._from_pixel_last(out)
 
     def Vt(self, vec):
         temp = self._to_pixel_last(vec)
-        return temp[:, self._perm]
+        return self._gather(temp, self._perm)
 
     def U(self, vec):
         return vec.reshape(vec.shape[0], -1)
@@ -224,26 +246,42 @@ class Inpainting(AFunctions):
     def add_zeros(self, vec):
         return vec.reshape(vec.shape[0], -1)
 
+    @staticmethod
+    def _bcast(x):
+        return x if x.ndim == 2 else x[None, :]
+
     def Lambda(self, vec, a, sigma_y, sigma_t, eta):
         out = self.Vt(vec)
         lam, _, _ = _ddnm_factors(self._singulars, a, sigma_y, sigma_t, eta)
-        return self.V(out * lam[None, :])
+        return self.V(out * self._bcast(lam))
 
     def Lambda_noise(self, vec, a, sigma_y, sigma_t, eta, epsilon):
         out_v = self.Vt(vec)
         out_e = self.Vt(epsilon)
         _, d1, d2 = _ddnm_factors(self._singulars, a, sigma_y, sigma_t, eta)
-        return self.V(out_v * d1[None, :]) + self.V(out_e * d2[None, :])
+        return self.V(out_v * self._bcast(d1)) + self.V(out_e * self._bcast(d2))
 
 
-def create_inpainting_operator(channels, img_dim, mask_opt, mask_key=None):
+def create_inpainting_operator(channels, img_dim, mask_opt, mask_key=None,
+                               repeats=1):
     """Build Inpainting from a mask generator draw (reference :333-364).
-    Box masks are centered like the DDNM MaskGenerator variant (:429-431)."""
+    Box masks are centered like the DDNM MaskGenerator variant (:429-431).
+
+    ``mask_key``: one PRNG key (shared mask, reference batch-1 semantics) or
+    a list of keys — one fresh mask per key, each repeated ``repeats`` times
+    (seed replicas of an image share its mask), yielding a batched operator
+    whose rows align with an (images*repeats) batch."""
     from free_hunch_tpu.operators import masks as mask_mod
     opt = dict(mask_opt)
     opt.setdefault("image_size", img_dim)
     if mask_key is None:
         mask_key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+    if isinstance(mask_key, (list, tuple)):
+        missing = []
+        for k in mask_key:
+            m = np.asarray(mask_mod.generate_mask(k, opt, channels))[0]
+            missing += [np.where(m.reshape(-1) == 0)[0]] * repeats
+        return Inpainting(channels, img_dim, missing)
     mask = np.asarray(mask_mod.generate_mask(mask_key, opt, channels))[0]
     missing = np.where(mask.reshape(-1) == 0)[0]
     return Inpainting(channels, img_dim, missing)
@@ -637,6 +675,11 @@ class SRConv(AFunctions):
         temp = jnp.zeros_like(x)
         np_len = self._perm.shape[0]
         temp = temp.at[:, self._perm, :].set(x[:, :np_len, :])
+        # identity copy of the coordinates beyond the permutation (reference
+        # svd_operators.py SRConv.V `temp[:, len(perm):] = vec[:, len(perm):]`)
+        # — without it V is rank-deficient instead of orthogonal and
+        # V(Vt(x)) zeroes (img_dim - small_dim) * img_dim coords per channel
+        temp = temp.at[:, np_len:, :].set(x[:, np_len:, :])
         temp = temp.transpose(0, 2, 1)
         out = self._mat_by_img(self.V_small, temp.reshape(b, -1), self.img_dim)
         out = self._img_by_mat(out, self.V_small.T, self.img_dim)

@@ -298,8 +298,9 @@ def test_evaluator_class_conditional(tmp_path):
                 conditioning_mechanism="dps", operator_name="inpainting",
                 mesh_shape="data:1", dtype="float32", cg_maxiter=10, seeds=[0])
     ev = Evaluator(opts)
-    ev.dataset = type(ev.dataset)(str(ds), resolution=32, return_idx=True,
-                                  use_labels=True)
+    # class_cond=True must plumb use_labels into the dataset by itself (the
+    # label branch used to be unreachable without this manual swap)
+    assert ev.dataset.use_labels
     results = ev.run()
     assert np.isfinite(results["psnr"])
 

@@ -164,6 +164,12 @@ def test_srconv_consistency():
     assert ax.shape == (B, 3 * (DIM // 2) ** 2)
     np.testing.assert_allclose(np.asarray(op.A(op.A_pinv(ax))), np.asarray(ax),
                                atol=1e-4)
+    # V is orthogonal on the FULL space — V used to drop the identity copy of
+    # the coordinates beyond the permutation, zeroing them in V(Vt(x))
+    np.testing.assert_allclose(np.asarray(op.V(op.Vt(jnp.asarray(x)))), x,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(op.Vt(op.V(jnp.asarray(x)))), x,
+                               atol=1e-4)
 
 
 def test_deblurring2d_consistency():
@@ -177,3 +183,31 @@ def test_deblurring2d_consistency():
     want = np.einsum("ij,bcjk,lk->bcil", A1, x.reshape(B, 3, DIM, DIM),
                      A2).reshape(B, -1)
     np.testing.assert_allclose(np.asarray(op.A(jnp.asarray(x))), want, atol=1e-3)
+
+
+def test_batched_inpainting_per_image_masks():
+    """Per-image masks in ONE operator (used by the DDNM evaluator: fresh
+    mask per image, shared across its seed replicas — the single-mask
+    construction used to stamp batch_keys[0]'s mask on the whole batch)."""
+    opt = {"mask_type": "random", "image_size": DIM,
+           "mask_prob_range": (0.3, 0.5)}
+    keys = [jax.random.PRNGKey(1), jax.random.PRNGKey(2)]
+    op = S.create_inpainting_operator(3, DIM, opt, mask_key=keys, repeats=2)
+    n = 3 * DIM * DIM
+    ones = jnp.ones((4, n), jnp.float32)
+    kept = np.asarray(op.A_with_zeros(ones))  # 1 on kept pixels, 0 on missing
+    # seed replicas share the image's mask; different images differ
+    np.testing.assert_array_equal(kept[0], kept[1])
+    np.testing.assert_array_equal(kept[2], kept[3])
+    assert np.abs(kept[0] - kept[2]).max() > 0
+    # each row matches the single-mask operator built from the same key
+    for row, key in [(0, keys[0]), (2, keys[1])]:
+        single = S.create_inpainting_operator(3, DIM, opt, mask_key=key)
+        np.testing.assert_array_equal(kept[row],
+                                      np.asarray(single.A_with_zeros(ones[:1]))[0])
+    # per-row V orthogonality + A == mask pick
+    x = np.random.default_rng(30).normal(size=(4, n)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op.Vt(op.V(jnp.asarray(x)))), x,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(op.V(op.Vt(jnp.asarray(x)))), x,
+                               atol=1e-5)

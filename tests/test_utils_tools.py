@@ -64,6 +64,41 @@ def test_ssim_matches_skimage_if_available():
     np.testing.assert_allclose(got, want, rtol=1e-3)
 
 
+def test_ssim_matches_skimage_semantics_replica():
+    """Exact skimage.structural_similarity semantics via a scipy
+    uniform_filter replica (scikit-image itself is absent from this image,
+    which is how a double-crop of the SSIM map — mean over (H-4p, W-4p)
+    instead of skimage's (H-2p, W-2p) — previously went unnoticed)."""
+    from scipy.ndimage import uniform_filter
+
+    from free_hunch_tpu.metrics.quality import ssim
+
+    def replica(a, b, data_range, win=7, K1=0.01, K2=0.03):
+        f = lambda x: uniform_filter(x.astype(np.float64), size=win)
+        ux, uy = f(a), f(b)
+        uxx, uyy, uxy = f(a * a), f(b * b), f(a * b)
+        cn = win * win / (win * win - 1.0)
+        vx, vy = cn * (uxx - ux * ux), cn * (uyy - uy * uy)
+        vxy = cn * (uxy - ux * uy)
+        C1, C2 = (K1 * data_range) ** 2, (K2 * data_range) ** 2
+        S = ((2 * ux * uy + C1) * (2 * vxy + C2)
+             / ((ux**2 + uy**2 + C1) * (vx + vy + C2)))
+        pad = (win - 1) // 2
+        return S[pad:-pad, pad:-pad].mean()
+
+    rng = np.random.default_rng(7)
+    for shape in [(64, 64), (48, 80)]:
+        a = rng.uniform(-1, 1, shape).astype(np.float32)
+        b = np.clip(a + 0.1 * rng.normal(size=shape).astype(np.float32), -1, 1)
+        got = float(ssim(a, b, data_range=2.0))
+        np.testing.assert_allclose(got, replica(a, b, 2.0), atol=3e-6)
+    a = rng.uniform(-1, 1, (3, 64, 64)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.normal(size=a.shape).astype(np.float32), -1, 1)
+    want = np.mean([replica(a[c], b[c], 2.0) for c in range(3)])
+    np.testing.assert_allclose(float(ssim(a, b, data_range=2.0, channel_axis=0)),
+                               want, atol=3e-6)
+
+
 def test_training_stats_collector():
     from free_hunch_tpu.utils import stats
     stats.report("loss", [1.0, 2.0, 3.0])
