@@ -51,17 +51,54 @@ def main():
     x = jnp.zeros((args.batch, 3, res, res), jnp.float32)
     sigma = jnp.full((args.batch,), 10.0, jnp.float32)
 
-    def forward(p_, x_, s_):
-        return precond.apply(p_, x_, s_)[0]
+    if args.full_step:
+        # the whole guided sampling run (UNet forwards + vjp pullbacks +
+        # covariance updates + CG), identically constructed to bench.py
+        import jax
 
-    cost, compiled = count_flops(forward, params, x, sigma)
+        from free_hunch_tpu.guidance import choose_conditioning_mechanism
+        from free_hunch_tpu.operators import get_operator
+        from free_hunch_tpu.samplers.edm import (prepare_schedule,
+                                                 required_cov_capacity,
+                                                 sample_scan)
+
+        op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),
+                          sigma_s=0.1, kernel_size=61, intensity=3.0)
+        xs, s0 = prepare_schedule(
+            round_sigma=precond.round_sigma, net_sigma_min=precond.sigma_min,
+            net_sigma_max=precond.sigma_max, num_steps=30, solver="heun",
+            discretization="edm", schedule="linear", scaling="none")
+        mech = choose_conditioning_mechanism("online_covariance")(
+            cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
+            image_base_covariance="dct_diagonal",
+            init_denoiser_variance=1.0, init_noise_variance=80.0**2,
+            data_dim=3 * res * res, cov_capacity=required_cov_capacity(xs),
+            solver_type="customcuda", max_rtol=1.0, cg_maxiter=5000)
+
+        def step(p_, noise_, y_, k_):
+            denoise = lambda xx, ss: precond.apply(p_, xx, ss)
+            out, _ = sample_scan(denoise, mech, noise_, y_, xs, k_,
+                                 sigma0_scaled=s0)
+            return out
+
+        y = jax.eval_shape(lambda c: op.forward(c, noiseless=True), x)
+        cost, compiled = count_flops(step, params, x,
+                                     jnp.zeros(y.shape, jnp.float32),
+                                     jax.random.PRNGKey(0))
+        flop_key = "flops_per_guided_run"
+    else:
+        def forward(p_, x_, s_):
+            return precond.apply(p_, x_, s_)[0]
+
+        cost, compiled = count_flops(forward, params, x, sigma)
+        flop_key = "flops_per_forward"
     n_params = count_parameters(params)
     report = {
         "params": n_params,
         "batch": args.batch,
         "resolution": res,
-        "flops_per_forward": cost.get("flops"),
-        "gflops_per_forward": (cost.get("flops") or 0) / 1e9,
+        flop_key: cost.get("flops"),
+        "g" + flop_key: (cost.get("flops") or 0) / 1e9,
         "bytes_accessed": cost.get("bytes accessed"),
         "memory_mib": (compiled.memory_analysis().temp_size_in_bytes / 2**20
                        if compiled.memory_analysis() else None),

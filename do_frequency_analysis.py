@@ -60,6 +60,12 @@ def main():
     mean, var = compute_dct_variance(args.dataset_path, args.num_images,
                                      args.resolution)
     out_dir = args.out or args.dataset_path
+    if os.path.isfile(out_dir):
+        # zip datasets: write the variance files next to the archive (the
+        # dataset path itself is a file, makedirs would raise and lose the
+        # whole accumulation)
+        out_dir = os.path.join(os.path.dirname(os.path.abspath(out_dir)),
+                               os.path.splitext(os.path.basename(out_dir))[0])
     os.makedirs(out_dir, exist_ok=True)
     np.savez_compressed(os.path.join(out_dir, "dct_variance.npz"),
                         dct_variance=var, dct_mean=mean)

@@ -90,15 +90,29 @@ def load_config(args: Optional[Dict[str, Any]] = None,
         parser.add_argument("--outdir", type=str, required=True)
         ns, unknown = parser.parse_known_args(argv if argv is not None else sys.argv[1:])
         config["outdir"] = ns.outdir
+        i = 0
+        while i < len(unknown):
+            tok = unknown[i]
+            if tok.startswith("--") and "=" in tok:
+                param, value = tok[2:].split("=", 1)
+                config[param] = value
+                i += 1
+            elif (tok.startswith("--") and i + 1 < len(unknown)
+                  and not unknown[i + 1].startswith("--")):
+                # space-separated override: '--key value' (used to be
+                # silently discarded — a wrong-experiment-parameters footgun)
+                config[tok[2:]] = unknown[i + 1]
+                i += 2
+            else:
+                raise SystemExit(f"unrecognized argument {tok!r} "
+                                 "(overrides are --key=value or --key value)")
     else:
-        unknown = [f"--{k}={v}" for k, v in args.items() if k != "outdir"]
+        # programmatic values pass through natively — an f-string round trip
+        # corrupts lists ('[1, 2]' -> int('[1') ValueError) and None ('None')
+        for k, v in args.items():
+            config[k] = v
         if "outdir" in args:
             config["outdir"] = args["outdir"]
-
-    for arg in unknown:
-        if arg.startswith("--") and "=" in arg:
-            param, value = arg[2:].split("=", 1)
-            config[param] = value
 
     if "dataset_path" not in config or config.get("dataset_path") is None:
         config["dataset_path"] = os.path.join(
@@ -129,6 +143,8 @@ def get_job_name_params(cfg: Dict[str, Any]) -> Dict[str, Any]:
     mech = cfg["conditioning_mechanism"]
     if mech == "dps":
         keys = list(_BASE_KEYS)
+        # raw keys, no shorthand mapping: reference-faithful quirk — its dps
+        # branch (config_utils.py:144-146) returns before applying shorthands
         return {k: v for k, v in cfg.items() if k != "outdir" and k in keys}
     if mech in ("pigdm", "tmpd", "peng_convert", "peng_analytic", "ddnm", "diffpir",
                 "pigdm_videodiff_schedule"):

@@ -28,6 +28,10 @@ def init(coordinator_address: Optional[str] = None,
     gloo cross-process collective backend is selected, and the platform is
     pinned via jax.config — the axon TPU plugin otherwise claims the backend
     even when JAX_PLATFORMS=cpu is set in the environment."""
+    global _initialized
+    if _initialized:
+        return  # idempotent: the CLI initialises before its first rank query,
+        # then the Evaluator calls init() again
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = num_processes if num_processes is not None else \
         int(os.environ.get("JAX_NUM_PROCESSES", 0) or 0)
@@ -42,6 +46,10 @@ def init(coordinator_address: Optional[str] = None,
                 pass  # backend already initialised; use whatever is in place
         jax.distributed.initialize(coordinator_address=addr,
                                    num_processes=nproc, process_id=pid)
+    _initialized = True
+
+
+_initialized = False
 
 
 def get_rank() -> int:

@@ -11,11 +11,23 @@ import os
 import sys
 
 
+class _CurrentStderr:
+    """Stream proxy that resolves ``sys.stderr`` at write time, so log lines
+    follow a later ``Tee`` redirect (a plain StreamHandler binds the stream
+    object at setup time and would bypass it)."""
+
+    def write(self, text):
+        return sys.stderr.write(text)
+
+    def flush(self):
+        return sys.stderr.flush()
+
+
 def setup_logger(name: str = "free_hunch_tpu", level=logging.INFO) -> logging.Logger:
     rank = int(os.environ.get("JAX_PROCESS_INDEX", os.environ.get("RANK", 0)))
     logger = logging.getLogger(name)
     if not logger.handlers:
-        h = logging.StreamHandler()
+        h = logging.StreamHandler(_CurrentStderr())
         h.setFormatter(logging.Formatter(
             f"[rank {rank}] %(asctime)s %(levelname)s %(message)s"))
         logger.addHandler(h)

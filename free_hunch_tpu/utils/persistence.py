@@ -43,6 +43,7 @@ def persistent_class(cls):
             class_name=cls.__name__,
             module=cls.__module__,
             source=_class_source(cls),
+            module_source=_module_source(cls),
             args=self._init_args,
             kwargs=self._init_kwargs,
             state=getattr(self, "__getstate__", lambda: self.__dict__)(),
@@ -69,6 +70,17 @@ def _class_source(cls) -> str:
     return "\n".join(lines)
 
 
+def _module_source(cls) -> str:
+    """Full source of the class's defining module (the reference embeds the
+    whole module, persistence.py:_module_to_src — a bare class body cannot be
+    exec'd when it has base classes or module-level references)."""
+    import sys
+    try:
+        return inspect.getsource(sys.modules[cls.__module__])
+    except (OSError, TypeError, KeyError):
+        return ""
+
+
 def _reconstruct(fields: dict) -> Any:
     assert fields["version"] == _VERSION
     cls = None
@@ -78,8 +90,19 @@ def _reconstruct(fields: dict) -> Any:
         cls = getattr(mod, fields["class_name"], None)
     except ImportError:
         cls = None
+    if cls is None and fields.get("module_source"):
+        # rebuild from the embedded MODULE source: its imports and base
+        # classes execute too, so classes with bases / module-level
+        # references survive (the class-body-only fallback below cannot)
+        mod = types.ModuleType(f"_persistence_{uuid.uuid4().hex}")
+        import sys
+        sys.modules[mod.__name__] = mod  # dataclasses etc. look modules up
+        exec(compile(fields["module_source"], "<persistence>", "exec"),
+             mod.__dict__)
+        cls = mod.__dict__.get(fields["class_name"])
     if cls is None and fields["source"]:
-        # rebuild the class from the embedded source
+        # legacy pickles: rebuild the class body alone (base-less,
+        # import-free classes only)
         mod = types.ModuleType(f"_persistence_{uuid.uuid4().hex}")
         exec(compile(fields["source"], "<persistence>", "exec"), mod.__dict__)
         cls = mod.__dict__[fields["class_name"]]

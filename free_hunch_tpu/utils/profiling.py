@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import contextlib
 import time
+import types
 from collections import defaultdict
 from typing import Dict, Optional
 
@@ -46,13 +47,21 @@ class PhaseTimer:
         self.counts: Dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
-    def phase(self, name: str, result=None):
+    def phase(self, name: str):
+        """``with timer.phase('solve') as ph: out = f(x); ph.set(out)`` —
+        the handle's ``set`` records the value to block on at exit. (A
+        ``result=`` argument on entry could never reference the value
+        computed INSIDE the block, so it silently measured only async
+        dispatch latency; prefer ``measure`` for the common call-and-time
+        case.)"""
+        handle = types.SimpleNamespace(result=None)
+        handle.set = lambda r: setattr(handle, "result", r)
         t0 = time.perf_counter()
         try:
-            yield
+            yield handle
         finally:
-            if self.sync and result is not None:
-                jax.block_until_ready(result)
+            if self.sync and handle.result is not None:
+                jax.block_until_ready(handle.result)
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1

@@ -57,7 +57,11 @@ class Collector:
         if not self._keep:
             self._moments.clear()
         for name, m in _sync(self.names()):
-            self._moments[name] = m
+            # keep_previous semantics (reference :150-156): a sync that
+            # brought no new samples keeps the previous window's stats
+            # instead of zeroing them
+            if not self._keep or m[0] != 0:
+                self._moments[name] = m
 
     def _get(self, name):
         return self._moments.get(name, np.zeros(_NUM_MOMENTS))
@@ -86,20 +90,47 @@ class Collector:
 
 def _sync(names):
     """Sum counters across processes and reset local accumulation
-    (reference _sync:236-283)."""
-    if not names:
-        return []
-    local = np.stack([_counters[n] for n in names])
+    (reference _sync:236-283).
+
+    The name sets may differ across ranks (``report0`` creates counters only
+    on rank 0), so the gather first establishes the UNION of requested names
+    — a fixed-order stack over rank-local name lists would misalign rows, and
+    swallowing that error would silently return rank-divergent sums."""
     try:
         import jax
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            gathered = multihost_utils.process_allgather(local)
-            local = np.asarray(gathered).sum(axis=0)
-    except Exception:
-        pass
+        world = jax.process_count()
+    except ImportError:  # host-only usage without jax
+        world = 1
+    if world <= 1:
+        out = [(n, _counters[n].copy()) for n in names]
+        for n in names:
+            _counters[n] = np.zeros(_NUM_MOMENTS)
+        return out
+
+    import json
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(json.dumps(sorted(names)).encode(), np.uint8)
+    ln = np.asarray([payload.size], np.int32)
+    lens = np.asarray(multihost_utils.process_allgather(ln)).reshape(-1)
+    padded = np.zeros(int(lens.max()), np.uint8)
+    padded[: payload.size] = payload
+    raw = np.asarray(multihost_utils.process_allgather(padded))
+    union = sorted(set().union(*(
+        json.loads(bytes(raw[i, : int(lens[i])]).decode())
+        for i in range(raw.shape[0]))))
+    if not union:
+        return []
+    local = np.stack([_counters.get(n, np.zeros(_NUM_MOMENTS)) for n in union])
+    # f64 moments ride the gather as int32 bytes: process_allgather
+    # canonicalizes f64 to f32 when jax_enable_x64 is off (same pitfall and
+    # fix as metrics.fid.allgather_merge)
+    raw_moments = np.asarray(multihost_utils.process_allgather(
+        np.ascontiguousarray(local).view(np.int32)))
+    summed = sum(np.ascontiguousarray(raw_moments[i]).view(np.float64)
+                 for i in range(raw_moments.shape[0]))
     out = []
-    for i, n in enumerate(names):
-        out.append((n, local[i]))
+    for i, n in enumerate(union):
+        out.append((n, summed[i]))
         _counters[n] = np.zeros(_NUM_MOMENTS)
     return out

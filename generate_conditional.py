@@ -11,7 +11,7 @@ import os
 import sys
 
 from free_hunch_tpu.config import load_config
-from free_hunch_tpu.parallel import get_rank
+from free_hunch_tpu.parallel import dist_init, get_rank
 from free_hunch_tpu.utils.logging import Tee, setup_logger
 
 logger = setup_logger()
@@ -46,16 +46,25 @@ def cmdline(argv=None):
         from free_hunch_tpu.eval import Evaluator
         return Evaluator(opts).run()
 
-    if get_rank() == 0 and not sys.stdin.isatty():
-        with Tee(os.path.join(opts.outdir, "output.log")):
-            results = run()
-    else:
-        results = run()
+    # join the distributed runtime BEFORE the first rank query: get_rank()
+    # initialises the local jax backend, after which
+    # jax.distributed.initialize() raises (and every host reads rank 0)
+    dist_init()
 
-    if get_rank() == 0:
+    def summarize(results):
         print(f"Time taken: {results.get('time_taken', float('nan')):.1f}s")
         print(f"PSNR: {results['psnr']}, SSIM: {results['ssim']}, "
               f"LPIPS: {results['lpips']}")
+
+    if get_rank() == 0:
+        # rank-0 output.log is part of the documented artifact layout
+        # (reference generate_conditional.py:454-459 redirects
+        # unconditionally); Tee echoes to the terminal as well
+        with Tee(os.path.join(opts.outdir, "output.log")):
+            results = run()
+            summarize(results)
+    else:
+        results = run()
     return results
 
 

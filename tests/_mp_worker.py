@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from free_hunch_tpu.parallel import barrier, dist_init, get_rank, get_world_size
 
 dist_init()
+dist_init()  # idempotent re-init (the CLI initialises, then Evaluator does)
 assert get_rank() == pid, (get_rank(), pid)
 assert get_world_size() == nproc, (get_world_size(), nproc)
 
@@ -60,8 +61,25 @@ fid_merge_exact = (merged.n == want.n
                    and np.array_equal(merged.s, want.s)
                    and np.array_equal(merged.ss, want.ss))
 
+# training-stats cross-rank sync with RANK-DIVERGENT name sets: report0
+# creates 'head' only on rank 0; the union gather must still line the rows
+# up (a fixed-order stack would misalign) and the f64 moments must survive
+# the gather exactly (they ride as int32 bytes)
+from free_hunch_tpu.utils import stats
+
+stats.init_multiprocessing(rank=pid)
+stats.report("shared", [float(pid) + 1.0] * 2)   # rank sums: 2 and 4
+stats.report0("head", 7.0)                        # exists on rank 0 only
+collector = stats.Collector()
+collector.update()
+stats_sync = dict(shared_num=collector.num("shared"),
+                  shared_mean=collector.mean("shared"),
+                  head_num=collector.num("head"),
+                  head_mean=collector.mean("head"))
+
 with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
     json.dump({"rank": get_rank(), "world": get_world_size(),
                "indices": my_indices.tolist(), "reduced": reduced,
-               "fid_merge_exact": bool(fid_merge_exact)}, f)
+               "fid_merge_exact": bool(fid_merge_exact),
+               "stats_sync": stats_sync}, f)
 print(f"worker {pid} done", flush=True)

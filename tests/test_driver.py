@@ -52,6 +52,29 @@ def test_config_round_trip():
     assert params["op"] == opts.operator_name and "ibc" in params
 
 
+def test_config_cli_override_forms():
+    # both --key=value and space-separated --key value must land (the latter
+    # used to be silently dropped — wrong-experiment-parameters footgun)
+    opts = load_config(argv=["--outdir=/tmp/x", "--num_steps=7",
+                             "--S_churn", "0.25", "--seeds", "4,5"])
+    assert opts.num_steps == 7
+    assert opts.S_churn == 0.25
+    assert opts.seeds == [4, 5]
+    # a dangling flag with no value is an error, not a silent no-op
+    with pytest.raises(SystemExit):
+        load_config(argv=["--outdir=/tmp/x", "--num_steps"])
+
+
+def test_config_programmatic_values_pass_natively():
+    # lists and None must survive programmatic load_config(args=...) — the
+    # old f-string round-trip corrupted them ('[1, 2]' -> ValueError, 'None')
+    opts = load_config(args=dict(outdir="/tmp/x", seeds=[1, 2],
+                                 num_steps=12, cond_scaling=None))
+    assert opts.seeds == [1, 2]
+    assert opts.num_steps == 12
+    assert opts.cond_scaling is None
+
+
 def test_evaluator_end_to_end(tmp_path, setup32):
     from free_hunch_tpu.eval import Evaluator
     opts = _opts(tmp_path, setup32)
@@ -99,7 +122,12 @@ def test_cli_entry(tmp_path, setup32, monkeypatch):
             "--seeds=0"]
     results = gc.cmdline(argv)
     assert np.isfinite(results["psnr"])
-    assert os.path.exists(os.path.join(str(tmp_path / "out"), "output.log"))
+    # output.log must actually capture the run: logger batch lines (the
+    # handler resolves sys.stderr at write time, following the Tee) and the
+    # final summary (printed inside the Tee block)
+    log = open(os.path.join(str(tmp_path / "out"), "output.log")).read()
+    assert "batch 1:" in log
+    assert "PSNR:" in log and "Time taken:" in log
 
 
 def test_save_videos_writes_full_trajectory(tmp_path, setup32):

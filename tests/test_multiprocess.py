@@ -59,3 +59,15 @@ def test_two_process_distributed_cpu(tmp_path):
     # FID moment merge: both ranks must reconstruct the single-host sums
     # BIT-exactly through the int32-byte allgather (fid.allgather_merge)
     assert [r["fid_merge_exact"] for r in results] == [True, True]
+
+    # training-stats sync with RANK-DIVERGENT counter names: 'shared' is
+    # reported on both ranks (rank sums 2 and 4 over 2 samples each) and
+    # 'head' only on rank 0 via report0 — both ranks must see the union
+    # with identical, exactly-summed moments, and a follow-up no-new-data
+    # update() must keep (not zero) the previous window
+    for r in results:
+        ss = r["stats_sync"]
+        assert ss["shared_num"] == 4
+        assert ss["shared_mean"] == pytest.approx(1.5)
+        assert ss["head_num"] == 1
+        assert ss["head_mean"] == pytest.approx(7.0)

@@ -202,6 +202,28 @@ def test_frequency_analysis(tmp_path):
     assert np.isfinite(var).all() and var.sum() > 0
 
 
+def test_frequency_analysis_zip_dataset(tmp_path, monkeypatch):
+    """main() with a ZIP dataset: the output dir defaults to the dataset
+    path, which is a FILE — the variance files must land in a sibling
+    directory instead of crashing after the whole accumulation."""
+    import sys
+    import zipfile
+
+    import do_frequency_analysis as dfa
+
+    src = _make_dataset_dir(tmp_path, n=4, res=16)
+    zpath = tmp_path / "ds.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for name in sorted(os.listdir(src)):
+            zf.write(os.path.join(src, name), name)
+    monkeypatch.setattr(sys, "argv", [
+        "do_frequency_analysis.py", f"--dataset_path={zpath}",
+        "--num_images=4", "--resolution=16"])
+    dfa.main()
+    out = np.load(tmp_path / "ds" / "dct_variance.npz")
+    assert out["dct_variance"].shape == (3, 16, 16)
+
+
 def test_count_flops_tiny():
     from count_flops import count_flops
     import jax.numpy as jnp
@@ -258,6 +280,44 @@ def test_persistence_roundtrip():
     assert P.is_persistent(t)
 
 
+def test_persistence_module_source_reconstruction(tmp_path):
+    """A pickled class whose defining module has VANISHED must rebuild from
+    the embedded module source — including base classes and module-level
+    references, which the legacy class-body-only fallback cannot execute
+    (reference persistence.py embeds the whole module, _module_to_src)."""
+    import importlib
+    import sys
+    from free_hunch_tpu.utils import persistence as P
+
+    mod_name = "_persist_probe_mod"
+    src = (
+        "from free_hunch_tpu.utils import persistence as P\n"
+        "SCALE = 10\n"
+        "class Base:\n"
+        "    def tag(self):\n"
+        "        return 'base'\n"
+        "@P.persistent_class\n"
+        "class Derived(Base):\n"
+        "    def __init__(self, a):\n"
+        "        self.a = a\n"
+        "        self.scaled = a * SCALE\n"
+    )
+    (tmp_path / f"{mod_name}.py").write_text(src)
+    sys.path.insert(0, str(tmp_path))
+    try:
+        mod = importlib.import_module(mod_name)
+        obj = mod.Derived(4)
+        blob = P.dumps(obj)
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop(mod_name, None)
+    (tmp_path / f"{mod_name}.py").unlink()  # module is now unimportable
+
+    obj2 = P.loads(blob)
+    assert (obj2.a, obj2.scaled) == (4, 40)
+    assert obj2.tag() == "base"  # base class came from the module source
+
+
 def test_phase_timer_and_annotate():
     import jax.numpy as jnp
     from free_hunch_tpu.utils.profiling import PhaseTimer, annotate
@@ -267,8 +327,13 @@ def test_phase_timer_and_annotate():
     assert out.shape == (64, 64)
     with pt.phase("sleepy"):
         pass
+    with pt.phase("blocked") as ph:
+        # the handle records the value computed INSIDE the block, so exit
+        # blocks on the actual result (not just async dispatch)
+        ph.set(jnp.ones((8, 8)) * 2)
     s = pt.summary()
-    assert "matmul" in s and "sleepy" in s
+    assert "matmul" in s and "sleepy" in s and "blocked" in s
+    assert pt.counts["blocked"] == 1
     with annotate("region"):
         pass
 
