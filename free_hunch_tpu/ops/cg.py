@@ -37,7 +37,7 @@ def _dot(a, b):
 def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
              precond: Optional[Callable] = None, rtol=1e-3, atol=0.0,
              maxiter: int = 1000, stall_iters: int = 25, min_iter: int = 0,
-             track_best: bool = True):
+             track_best: bool = True, stall_engage: float = 0.5):
     """Solve A x = b per batch row with CG.
 
     matvec: (batch, n) -> (batch, n), must apply a symmetric PSD A per row.
@@ -49,7 +49,15 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     for up to 1e-14 at small sigma (conditioning_mechanisms.py:307-323) —
     unreachable in f32, where the reference torch CG burns its full
     maxiter=5000 budget at the numerical floor; detecting the floor keeps the
-    same final accuracy at a fraction of the iterations.
+    same final accuracy at a fraction of the iterations. The counter only
+    engages once the row's best residual has dropped below
+    ``stall_engage * ||b||``: CG's 2-norm residual is NON-monotone (only the
+    A-norm error is), and on ill-conditioned systems it can plateau or grow
+    for dozens of iterations while the solve is still in its pre-convergence
+    phase — freezing there would return a garbage iterate (observed on
+    super-resolution systems with the network's per-pixel x0 variance,
+    dynamic range ~1e8). A plateau below the engage threshold is the f32
+    floor; a plateau above it means "keep iterating".
 
     min_iter: run at least this many iterations even for rows whose initial
     residual already satisfies the tolerance. The reference torch CG
@@ -122,7 +130,6 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
         p = jnp.where(act[:, None], z + beta[:, None] * p, p)
         res = jnp.sqrt(_dot(r, r))
         improved = res < 0.999 * best
-        stall = jnp.where(improved, 0, stall + 1)
         # during forced iterations the current iterate is taken
         # unconditionally (the reference returns its first iterate even when
         # the residual worsened); best-tracking engages after min_iter
@@ -131,6 +138,11 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
                               jnp.logical_and(res < best, jnp.isfinite(res)))
         bx = jnp.where(take[:, None], x, bx)
         best = jnp.where(forced, res, jnp.minimum(best, res))
+        # stall counts only in the converging regime (see docstring) — a
+        # no-improvement streak while best >= stall_engage*||b|| is CG's
+        # normal pre-convergence residual oscillation, not a floor
+        engaged = best < stall_engage * b_norm
+        stall = jnp.where(jnp.logical_and(~improved, engaged), stall + 1, 0)
         active = jnp.logical_and(act, res > stop)
         active = jnp.logical_and(active, stall < stall_iters)
         # freeze rows whose residual went non-finite (breakdown guard)

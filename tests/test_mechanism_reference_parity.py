@@ -125,10 +125,37 @@ def rig():
         y_blur = np.asarray(j_blur.forward(jnp.asarray(x_clean), noiseless=True))
         np.testing.assert_allclose(y_blur, y_ref, atol=1e-5)
 
+        # --- matched super_resolution operators (shipped bicubic kernel; the
+        # .mat asset and our npz are bit-identical, verified in test_operators)
+        from functools import partial
+
+        import scipy.io
+        from measurement_utils.measurements import SuperResolutionOperator
+        from measurement_utils.resizer import Resizer
+        from torch.nn import functional as F
+        sf = 2
+        t_sr = SuperResolutionOperator.__new__(SuperResolutionOperator)
+        t_sr.device = "cpu"
+        t_sr.up_sample = partial(F.interpolate, scale_factor=sf)
+        t_sr.down_sample = Resizer((1, 3, RES, RES), 1 / sf).float()
+        t_sr.scale_factor = sf
+        kmat = scipy.io.loadmat(
+            "measurement_utils/kernels/kernels_bicubicx234.mat")["kernels"]
+        t_sr.kernel = torch.Tensor(kmat[0, sf - 2].astype(np.float64))
+        t_sr.sigma_s = torch.tensor([0.05])
+        t_sr.in_shape = (1, 3, RES, RES)
+        t_sr.out_shape = (1, 3, RES // sf, RES // sf)
+        j_sr = get_operator(name="super_resolution", scale_factor=sf,
+                            sigma_s=0.05, in_shape=(1, 3, RES, RES))
+        y_sr_ref = t_sr.forward(torch.from_numpy(x_clean), noiseless=True).numpy()
+        y_sr = np.asarray(j_sr.forward(jnp.asarray(x_clean), noiseless=True))
+        np.testing.assert_allclose(y_sr, y_sr_ref, atol=1e-5)
+
         yield dict(ref_mech=ref_mech, my_mech=my_mech, tpre=tpre, jpre=jpre,
                    params=params,
                    ops={"inpainting": (t_inp, j_inp, y_inp),
-                        "gaussian_blur": (t_blur, j_blur, y_blur)})
+                        "gaussian_blur": (t_blur, j_blur, y_blur),
+                        "super_resolution": (t_sr, j_sr, y_sr_ref)})
     finally:
         os.chdir(cwd)
 
@@ -150,7 +177,8 @@ MECHS = {
 }
 
 
-@pytest.mark.parametrize("op_name", ["inpainting", "gaussian_blur"])
+@pytest.mark.parametrize("op_name", ["inpainting", "gaussian_blur",
+                                     "super_resolution"])
 @pytest.mark.parametrize("mech_name", sorted(MECHS))
 def test_stateless_mechanism_matches_reference(rig, mech_name, op_name):
     ref_extra, my_extra, sigmas, gate = MECHS[mech_name]

@@ -172,3 +172,29 @@ def test_cg_optimal_means_returned_iterate_converged():
     # and a converged solve still reports optimal=True
     x, info = cg_mod.cg_batch(mv, jnp.asarray(b), rtol=1e-10, maxiter=500)
     assert bool(np.asarray(info.optimal)[0])
+
+
+def test_cg_stall_detector_only_engages_in_converging_regime():
+    """CG's 2-norm residual is non-monotone: on an ill-conditioned system it
+    can plateau for dozens of iterations ABOVE any useful accuracy before
+    dropping (observed on SR systems with the network's per-pixel variance).
+    The stall counter must not freeze the solve there — only a plateau below
+    ``stall_engage * ||b||`` is treated as the numerical floor."""
+    rng = np.random.default_rng(6)
+    n = 2048
+    # log-spaced spectrum, kappa=1e4: the 2-norm residual stays within 0.1%
+    # of its running best for ~68 consecutive iterations while still at
+    # ~||b||, then converges past rtol=1e-3 (measured plateau profile)
+    d = jnp.asarray(np.logspace(-4, 0, n).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+    mv = lambda v: v * d[None, :]
+    x, info = cg_mod.cg_batch(mv, b, rtol=1e-3, maxiter=2000, stall_iters=25)
+    assert bool(np.asarray(info.optimal)[0]), float(info.residual_norm[0])
+    rel = float(info.residual_norm[0]) / float(jnp.linalg.norm(b))
+    assert rel <= 1e-3
+    # an always-engaged counter (legacy behaviour) freezes on the plateau
+    # with a garbage iterate — guards that the engage threshold matters
+    x2, info2 = cg_mod.cg_batch(mv, b, rtol=1e-3, maxiter=2000,
+                                stall_iters=25, stall_engage=np.inf)
+    assert not bool(np.asarray(info2.optimal)[0])
+    assert float(info2.residual_norm[0]) / float(jnp.linalg.norm(b)) > 0.5
