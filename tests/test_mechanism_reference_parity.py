@@ -151,11 +151,35 @@ def rig():
         y_sr = np.asarray(j_sr.forward(jnp.asarray(x_clean), noiseless=True))
         np.testing.assert_allclose(y_sr, y_sr_ref, atol=1e-5)
 
+        # --- matched motion_blur operators. The kernel is ASYMMETRIC (a real
+        # motion PSF from our synthesiser) — unlike the symmetric gaussian it
+        # catches FB-vs-conj(FB) / kernel-flip bugs in the FFT conv and the
+        # deblur solvers, which cancel exactly for symmetric kernels.
+        from measurement_utils.measurements import \
+            MotionBlurOperator as TorchMotionBlur
+
+        from free_hunch_tpu.operators.motionblur import MotionKernel
+        km = MotionKernel(size=(9, 9), intensity=0.5, rng=7).kernelMatrix
+        km = km.astype(np.float32)
+        assert np.abs(km - km[::-1, ::-1]).max() > 1e-4  # genuinely asymmetric
+        t_mb = TorchMotionBlur.__new__(TorchMotionBlur)
+        t_mb.device = "cpu"
+        t_mb.kernel_size = km.shape[0]
+        t_mb.kernel = km
+        t_mb.sigma_s = torch.tensor([0.05])
+        t_mb.in_shape = (1, 3, RES, RES)
+        j_mb = get_operator(name="motion_blur", sigma_s=0.05, kernel=km,
+                            in_shape=(1, 3, RES, RES))
+        y_mb_ref = t_mb.forward(torch.from_numpy(x_clean), noiseless=True).numpy()
+        y_mb = np.asarray(j_mb.forward(jnp.asarray(x_clean), noiseless=True))
+        np.testing.assert_allclose(y_mb, y_mb_ref, atol=1e-5)
+
         yield dict(ref_mech=ref_mech, my_mech=my_mech, tpre=tpre, jpre=jpre,
                    params=params,
                    ops={"inpainting": (t_inp, j_inp, y_inp),
                         "gaussian_blur": (t_blur, j_blur, y_blur),
-                        "super_resolution": (t_sr, j_sr, y_sr_ref)})
+                        "super_resolution": (t_sr, j_sr, y_sr_ref),
+                        "motion_blur": (t_mb, j_mb, y_mb_ref)})
     finally:
         os.chdir(cwd)
 
@@ -178,7 +202,7 @@ MECHS = {
 
 
 @pytest.mark.parametrize("op_name", ["inpainting", "gaussian_blur",
-                                     "super_resolution"])
+                                     "super_resolution", "motion_blur"])
 @pytest.mark.parametrize("mech_name", sorted(MECHS))
 def test_stateless_mechanism_matches_reference(rig, mech_name, op_name):
     ref_extra, my_extra, sigmas, gate = MECHS[mech_name]
