@@ -4,7 +4,11 @@ Drives the REFERENCE BFGSOnlineUpdate (torch, imported from /root/reference
 as an oracle, with stubs for its missing deps: torch_dct, pywt, hdf5storage,
 and CUDA-on-CPU) and our FreeHunch mechanism through an identical sequence of
 (x_t, sigma) guidance calls on the same tiny converted UNet and the same
-inpainting measurement, then compares the updated denoiser means step by step.
+measurement, then compares the updated denoiser means step by step — for all
+four paper operators (inpainting, gaussian_blur, super_resolution,
+motion_blur), so every tailored covariance-CG solver family
+(conditioning_mechanisms.py:563-600) is exercised with a REAL evolving BFGS
+state, not just the per-pixel-variance branch the stateless oracle covers.
 
 This validates the whole chain — time update + analytic transport, BFGS space
 update, tailored CG solve, vjp guidance — end to end against the paper's own
@@ -77,7 +81,17 @@ def pair():
         y = (mask * x_clean).astype(np.float32)  # noiseless measurement
 
         # reference operator (mask injected directly, bypassing its RNG)
-        from measurement_utils.measurements import InpaintingOperator
+        from functools import partial
+
+        import scipy.io
+        from measurement_utils.measurements import (GaussialBlurOperator,
+                                                    InpaintingOperator,
+                                                    MotionBlurOperator,
+                                                    SuperResolutionOperator)
+        from measurement_utils.resizer import Resizer
+        from torch.nn import functional as F
+
+        from free_hunch_tpu.operators.motionblur import MotionKernel
         t_op = InpaintingOperator.__new__(InpaintingOperator)
         t_op.device = "cpu"
         t_op.sigma_s = torch.tensor([0.05])
@@ -86,6 +100,64 @@ def pair():
 
         j_op = get_operator(name="inpainting", sigma_s=0.05, mask=mask,
                             in_shape=(1, 3, RES, RES))
+
+        ops = {"inpainting": (t_op, j_op, y)}
+
+        # gaussian_blur: small symmetric kernel (the 61x61 asset exceeds 32px)
+        g = np.exp(-0.5 * ((np.arange(9) - 4.0) / 1.5) ** 2)
+        kern = np.outer(g, g).astype(np.float32)
+        kern /= kern.sum()
+        t_gb = GaussialBlurOperator.__new__(GaussialBlurOperator)
+        t_gb.device = "cpu"
+        t_gb.kernel_size = 9
+        t_gb.kernel = torch.from_numpy(kern)
+        t_gb.sigma_s = torch.tensor([0.05])
+        t_gb.in_shape = (1, 3, RES, RES)
+        j_gb = get_operator(name="gaussian_blur", sigma_s=0.05, kernel=kern,
+                            in_shape=(1, 3, RES, RES))
+        y_gb = t_gb.forward(torch.from_numpy(x_clean), noiseless=True).numpy()
+        np.testing.assert_allclose(
+            np.asarray(j_gb.forward(jnp.asarray(x_clean), noiseless=True)),
+            y_gb, atol=1e-5)
+        ops["gaussian_blur"] = (t_gb, j_gb, y_gb)
+
+        # motion_blur: asymmetric PSF (conjugation bugs don't cancel)
+        km = MotionKernel(size=(9, 9), intensity=0.5, rng=7).kernelMatrix
+        km = km.astype(np.float32)
+        t_mb = MotionBlurOperator.__new__(MotionBlurOperator)
+        t_mb.device = "cpu"
+        t_mb.kernel_size = 9
+        t_mb.kernel = km
+        t_mb.sigma_s = torch.tensor([0.05])
+        t_mb.in_shape = (1, 3, RES, RES)
+        j_mb = get_operator(name="motion_blur", sigma_s=0.05, kernel=km,
+                            in_shape=(1, 3, RES, RES))
+        y_mb = t_mb.forward(torch.from_numpy(x_clean), noiseless=True).numpy()
+        np.testing.assert_allclose(
+            np.asarray(j_mb.forward(jnp.asarray(x_clean), noiseless=True)),
+            y_mb, atol=1e-5)
+        ops["motion_blur"] = (t_mb, j_mb, y_mb)
+
+        # super_resolution x2: shipped bicubic kernel + ResizeRight downsample
+        sf = 2
+        t_sr = SuperResolutionOperator.__new__(SuperResolutionOperator)
+        t_sr.device = "cpu"
+        t_sr.up_sample = partial(F.interpolate, scale_factor=sf)
+        t_sr.down_sample = Resizer((1, 3, RES, RES), 1 / sf).float()
+        t_sr.scale_factor = sf
+        kmat = scipy.io.loadmat(
+            "measurement_utils/kernels/kernels_bicubicx234.mat")["kernels"]
+        t_sr.kernel = torch.Tensor(kmat[0, sf - 2].astype(np.float64))
+        t_sr.sigma_s = torch.tensor([0.05])
+        t_sr.in_shape = (1, 3, RES, RES)
+        t_sr.out_shape = (1, 3, RES // sf, RES // sf)
+        j_sr = get_operator(name="super_resolution", scale_factor=sf,
+                            sigma_s=0.05, in_shape=(1, 3, RES, RES))
+        y_sr = t_sr.forward(torch.from_numpy(x_clean), noiseless=True).numpy()
+        np.testing.assert_allclose(
+            np.asarray(j_sr.forward(jnp.asarray(x_clean), noiseless=True)),
+            y_sr, atol=1e-5)
+        ops["super_resolution"] = (t_sr, j_sr, y_sr)
 
         common = dict(max_vector_count=100000, project_to_diagonal=False,
                       denoiser_mean_error_threshold=1e9,  # disable the fallback
@@ -97,33 +169,34 @@ def pair():
                       # unique, so the two CG implementations are comparable
                       max_rtol=1e-6, use_rtol_func=False)
 
-        def make_ref(image_base_covariance, init_sigma):
+        def make_ref(image_base_covariance, init_sigma, op=t_op):
             return ref_mech.BFGSOnlineUpdate(
-                1.0, t_op, False,
+                1.0, op, False,
                 init_denoiser_variance=1, init_noise_variance=torch.tensor(init_sigma**2),
                 data_dim=D, pigdm_posthoc_scaling=False,
                 image_base_covariance=image_base_covariance,
                 data_dir="data/imagenet/", pca_component_count=10,
                 solver_type="customcuda", diffpir_lambda=10, **common)
 
-        def make_mine(image_base_covariance, init_sigma):
-            return FreeHunch(forward_operator=j_op, cond_scaling=1.0,
+        def make_mine(image_base_covariance, init_sigma, op=j_op):
+            return FreeHunch(forward_operator=op, cond_scaling=1.0,
                              clip_x0_mean=False, init_denoiser_variance=1.0,
                              data_dim=D, image_base_covariance=image_base_covariance,
                              init_noise_variance=init_sigma**2, cov_capacity=32,
                              solver_type="customcuda", **common)
 
         yield dict(tpre=tpre, params=params, jpre=jpre, y=y,
-                   make_ref=make_ref, make_mine=make_mine, mask=mask)
+                   make_ref=make_ref, make_mine=make_mine, mask=mask,
+                   ops=ops)
     finally:
         os.chdir(cwd)
 
 
-def _drive_pair(pair, basis):
+def _drive_pair(pair, basis, op_name="inpainting"):
     tpre, jpre, params = pair["tpre"], pair["jpre"], pair["params"]
-    y = pair["y"]
-    ref = pair["make_ref"](basis, 2.0)
-    mine = pair["make_mine"](basis, 2.0)
+    t_op, j_op, y = pair["ops"][op_name]
+    ref = pair["make_ref"](basis, 2.0, op=t_op)
+    mine = pair["make_mine"](basis, 2.0, op=j_op)
     state = mine.init_state(1, (3, RES, RES))
     denoise = lambda x, s: jpre.apply(params, x, s)
 
@@ -148,9 +221,11 @@ def _drive_pair(pair, basis):
     return outs_ref, outs_mine, ref, mine, state
 
 
+@pytest.mark.parametrize("op_name", ["inpainting", "gaussian_blur",
+                                     "super_resolution", "motion_blur"])
 @pytest.mark.parametrize("basis", ["identity", "dct_diagonal_noinfo"])
-def test_freehunch_mechanism_matches_reference(pair, basis):
-    outs_ref, outs_mine, ref, mine, state = _drive_pair(pair, basis)
+def test_freehunch_mechanism_matches_reference(pair, basis, op_name):
+    outs_ref, outs_mine, ref, mine, state = _drive_pair(pair, basis, op_name)
     for i, (a, b) in enumerate(zip(outs_ref, outs_mine)):
         err = np.abs(a - b).max()
         denom = np.abs(a).max()
