@@ -38,8 +38,14 @@ from tests._reference_oracle import install_reference_stubs  # noqa: E402
 
 
 def run_ab(res=64, channels=32, num_res_blocks=1, steps=30, seed=0,
-           basis=None, rtol_floor=1e-6, verbose=True):
-    """Run the A/B; returns a dict of agreement metrics."""
+           basis=None, rtol_floor=1e-6, verbose=True,
+           operator="gaussian_blur"):
+    """Run the A/B; returns a dict of agreement metrics.
+
+    operator: 'gaussian_blur' (61x61 std3.0 paper kernel) or
+    'super_resolution' (bicubic x4, the paper's SISR configuration) — the
+    free-running comparison exercises the tailored covariance solver family
+    end to end for that measurement."""
     import torch
     install_reference_stubs()
 
@@ -47,13 +53,13 @@ def run_ab(res=64, channels=32, num_res_blocks=1, steps=30, seed=0,
     os.chdir("/root/reference")  # the reference loads relative asset paths
     try:
         return _run_ab_inner(res, channels, num_res_blocks, steps, seed,
-                             basis, rtol_floor, verbose, torch)
+                             basis, rtol_floor, verbose, torch, operator)
     finally:
         os.chdir(cwd)
 
 
 def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
-                  rtol_floor, verbose, torch):
+                  rtol_floor, verbose, torch, operator="gaussian_blur"):
     import conditioning_utils.online_update_bfgs as oub
     if not hasattr(oub, "CovarianceHessianBFGSDCTPCA"):
         oub.CovarianceHessianBFGSDCTPCA = oub.CovarianceHessianBFGSDCT
@@ -120,8 +126,12 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
     noise = rng.standard_normal((1, 3, res, res)).astype(np.float32)
     cond = rng.uniform(-1, 1, (1, 3, res, res)).astype(np.float32)
 
-    op_kw = dict(name="gaussian_blur", in_shape=(1, 3, res, res),
-                 kernel_size=61, intensity=3.0, sigma_s=0.0, device="cpu")
+    if operator == "super_resolution":
+        op_kw = dict(name="super_resolution", in_shape=(1, 3, res, res),
+                     scale_factor=4, sigma_s=0.0, device="cpu")
+    else:
+        op_kw = dict(name="gaussian_blur", in_shape=(1, 3, res, res),
+                     kernel_size=61, intensity=3.0, sigma_s=0.0, device="cpu")
     ref_other = dict(
         conditioning_mechanism="online_covariance", cond_scaling=1.0,
         clip_x0_mean=False, pigdm_posthoc_scaling=False,
@@ -145,10 +155,14 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
     if verbose:
         print(f"reference done in {t_ref:.1f}s", file=sys.stderr, flush=True)
 
-    kernel = np.load("/root/reference/measurement_utils/kernels/"
-                     "gaussian_ks61_std3.0.npy")
-    j_op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),
-                        sigma_s=0.0, kernel=kernel)
+    if operator == "super_resolution":
+        j_op = get_operator(name="super_resolution", in_shape=(1, 3, res, res),
+                            scale_factor=4, sigma_s=0.0)
+    else:
+        kernel = np.load("/root/reference/measurement_utils/kernels/"
+                         "gaussian_ks61_std3.0.npy")
+        j_op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),
+                            sigma_s=0.0, kernel=kernel)
     mech = FreeHunch(
         forward_operator=j_op, cond_scaling=1.0, clip_x0_mean=False,
         init_denoiser_variance=1.0, init_noise_variance=80.0**2,
@@ -202,7 +216,10 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
         protocol=dict(res=res, model_channels=channels,
                       num_res_blocks=num_res_blocks, steps=steps,
                       denoiser_evals=2 * steps - 1, basis=basis,
-                      operator="gaussian_blur 61x61 std3.0", sigma_s=0.0,
+                      operator=("super_resolution bicubic x4"
+                                if operator == "super_resolution"
+                                else "gaussian_blur 61x61 std3.0"),
+                      sigma_s=0.0,
                       mechanism="online_covariance (Free Hunch)",
                       rtol_floor=rtol_floor, seed=seed,
                       channel_mult=list(channel_mult),
@@ -762,10 +779,13 @@ def main():
     ap.add_argument("--mode", choices=["free", "teacher", "both"],
                     default="both")
     ap.add_argument("--operator", default="inpainting",
-                    choices=["inpainting", "gaussian_blur"],
+                    choices=["inpainting", "gaussian_blur",
+                             "super_resolution"],
                     help="teacher-forced mode operator (inpainting gives a "
                          "well-conditioned guidance system -> strict parity; "
-                         "gaussian_blur reports the loose-CG error profile)")
+                         "gaussian_blur reports the loose-CG error profile); "
+                         "free mode accepts gaussian_blur (default) or "
+                         "super_resolution (bicubic x4)")
     ap.add_argument("--precision", choices=["f32", "f64"], default="f32",
                     help="f64: our algebra+CG in float64 (jax_enable_x64), "
                          "stall off, maxiter matched — the decisive "
@@ -809,7 +829,10 @@ def main():
         out["free_running"] = run_ab(
             res=args.res, channels=args.channels,
             num_res_blocks=args.num_res_blocks, steps=args.steps,
-            seed=args.seed, basis=args.basis)
+            seed=args.seed, basis=args.basis,
+            operator=(args.operator if args.operator in
+                      ("gaussian_blur", "super_resolution")
+                      else "gaussian_blur"))
     path = args.out or os.path.join(REPO, "docs", f"ab_reference_{args.res}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
