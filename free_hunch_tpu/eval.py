@@ -102,6 +102,12 @@ class Evaluator:
         self._key_batch = jax.random.fold_in(self.key, 1)
         self._key_enc = jax.random.fold_in(self.key, 2)
         self.mesh = make_mesh(opts.get("mesh_shape", "data:-1"))
+        mesh_axes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        # mesh_shape=data:N,model:M (M>1) turns on model parallelism: the
+        # UNet torso is spatially partitioned (height over 'model', GSPMD
+        # halo exchanges) and the FreeHunch covariance state is sharded on
+        # the d dimension — the >1-chip path for activation/vjp HBM.
+        self._model_parallel = mesh_axes.get("model", 1) > 1
 
         # --- model ----------------------------------------------------------
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
@@ -118,7 +124,9 @@ class Evaluator:
         self.model, self.params, model_args = load_model(
             opts.get("openai_state_dict_path"), opts["openai_setup_path"],
             dtype=dtype, remat=remat,
-            init_random_if_missing=bool(opts.get("allow_random_init", False)))
+            init_random_if_missing=bool(opts.get("allow_random_init", False)),
+            spatial_partition=(("data", "model") if self._model_parallel
+                               else None))
         self.precond = wrap_precond(self.model, model_args,
                                     opts.get("iddpm_preconditioning", "linear"))
         self.res = model_args.get("image_size", 256)
@@ -187,6 +195,8 @@ class Evaluator:
             # see docs/design.md "Robustness knobs" for the A/B)
             mkw.update(transport_mean_bound=opts.get("transport_mean_bound"),
                        guidance_update_bound=opts.get("guidance_update_bound"),
+                       cov_partition=(("data", "model")
+                                      if self._model_parallel else None),
                        init_denoiser_variance=1.0,
                        init_noise_variance=float(self.sigma0_scaled) ** 2,
                        data_dim=3 * self.res * self.res,
@@ -409,8 +419,12 @@ class Evaluator:
                              ).get("data", 1)
             if noise.shape[0] % max(data_axis, 1) == 0:
                 noise, cond_latents = shard_batch((noise, cond_latents), self.mesh)
-            x, traj, y = self._run_batch(self.params, noise, cond_latents, op,
-                                         batch_key, labels)
+            # ambient mesh context: the model-parallel sharding constraints
+            # (UNet spatial_partition / FreeHunch cov_partition) are bare
+            # PartitionSpecs that resolve against the context mesh
+            with self.mesh:
+                x, traj, y = self._run_batch(self.params, noise, cond_latents,
+                                             op, batch_key, labels)
 
             gen_u8 = np.asarray(self._decode(x))
             y_u8 = np.asarray(self._decode(y))

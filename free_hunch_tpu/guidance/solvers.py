@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 
 import free_hunch_tpu.ops.cg as cg_mod
-from free_hunch_tpu.ops.fftops import downsample, splits, upsample
+from free_hunch_tpu.ops.fftops import (downsample, irfft2, rfft2,
+                                       splits, upsample)
+from free_hunch_tpu.ops import fftops
 
 # Requested relative residuals below the f32 floor are numerical noise: the
 # reference's GPU rtol schedule asks for 1e-14 at small sigma
@@ -56,11 +58,11 @@ def rtol_schedule_2(sigma, rtol_max=1.0, rtol_min=1e-4, p=0.05):
 
 def _fft2(x):
     cdt = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
-    return jnp.fft.fft2(x.astype(cdt))
+    return fftops.fft2(x.astype(cdt))
 
 
 def _ifft2_r(x):
-    r = jnp.fft.ifft2(x).real
+    r = fftops.ifft2(x).real
     return r.astype(jnp.float64 if r.dtype == jnp.float64 else jnp.float32)
 
 
@@ -275,9 +277,9 @@ def deblur_mat_cg_fourier(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
 
     def matvec(xf):
         c = unpack(xf)
-        v = jnp.fft.irfft2(FBCh * c, s=(H, W)).astype(rdt)   # A^T u (pixel)
+        v = irfft2(FBCh * c, s=(H, W)).astype(rdt)   # A^T u (pixel)
         v = _apply_c(v, theta0_var, cov_mv)                  # C .
-        c2 = FBh * jnp.fft.rfft2(v)                          # F(A .)
+        c2 = FBh * rfft2(v)                          # F(A .)
         return sigma_s**2 * xf + pack(c2)
 
     precond = None
@@ -297,13 +299,13 @@ def deblur_mat_cg_fourier(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
                 z = z / denom[..., None]
                 return z.reshape(xf.shape)
 
-    b_pix = y - jnp.fft.irfft2(FBh * jnp.fft.rfft2(x0_mean), s=(H, W)).astype(rdt)
-    b_f = pack(jnp.fft.rfft2(b_pix))
+    b_pix = y - irfft2(FBh * rfft2(x0_mean), s=(H, W)).astype(rdt)
+    b_f = pack(rfft2(b_pix))
     x0_f = b_f if warm_start else None
     if u_init is not None:
         # recycled solutions live in pixel space (shared with the pixel
         # solver, so cg_coords can change without invalidating the carry)
-        init_f = pack(jnp.fft.rfft2(u_init.astype(rdt)))
+        init_f = pack(rfft2(u_init.astype(rdt)))
         base_f = b_f if warm_start else jnp.zeros_like(b_f)
         x0_f = (jnp.where(u_init_valid, init_f, base_f)
                 if u_init_valid is not None else init_f)
@@ -314,9 +316,9 @@ def deblur_mat_cg_fourier(operator, y, x0_mean, *, theta0_var=None, cov_mv=None,
     # report residual norms on the pixel scale (|| . ||_packed = sqrt(H*W) x)
     info = info._replace(residual_norm=info.residual_norm
                          / jnp.sqrt(jnp.asarray(H * W, rdt)))
-    mat = jnp.fft.irfft2(FBCh * unpack(u_f), s=(H, W)).astype(rdt)
+    mat = irfft2(FBCh * unpack(u_f), s=(H, W)).astype(rdt)
     if return_u:
-        u_pix = jnp.fft.irfft2(unpack(u_f), s=(H, W)).astype(rdt)
+        u_pix = irfft2(unpack(u_f), s=(H, W)).astype(rdt)
         return mat, info, u_pix
     return (mat, info) if return_info else mat
 

@@ -55,17 +55,23 @@ def parse_setup_txt(text: str) -> dict:
 
 def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
                init_random_if_missing: bool = False, rng_seed: int = 0,
-               remat: bool = True) -> Tuple[UNetModel, dict, dict]:
+               remat: bool = True,
+               spatial_partition=None) -> Tuple[UNetModel, dict, dict]:
     """Build the UNet per the setup file and load converted weights.
 
     Returns (model, params, model_args). When the .pt checkpoint is absent
     and ``init_random_if_missing`` (used by benchmarks and smoke tests without
     downloaded checkpoints), parameters are randomly initialised instead.
     A converted copy is cached at ``<state_dict_path>.npz``.
+
+    ``spatial_partition=(data_axis, model_axis)`` enables GSPMD spatial
+    model-parallelism for the torso (UNetConfig.spatial_partition): image
+    height sharded over the model axis, halo exchanges over ICI.
     """
     with open(setup_path, "r") as f:
         model_args = parse_setup_txt(f.read())
-    model = create_model(dtype=dtype, remat=remat, **model_args)
+    model = create_model(dtype=dtype, remat=remat,
+                         spatial_partition=spatial_partition, **model_args)
 
     cache = state_dict_path + ".npz" if state_dict_path else None
     cached = _try_load_cache(cache)
@@ -96,9 +102,14 @@ def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
         init_kwargs = {}
         if model_args.get("class_cond"):
             init_kwargs["y"] = jnp.zeros((1,), jnp.int32)
-        params = model.init(jax.random.PRNGKey(rng_seed),
-                            jnp.zeros((1, 3, res, res), jnp.float32),
-                            jnp.zeros((1,), jnp.float32), **init_kwargs)
+        # init via the unpartitioned twin: spatial_partition's sharding
+        # constraints need an ambient mesh, which doesn't exist at load time
+        # (the param tree is identical either way)
+        init_model = (model if spatial_partition is None else
+                      create_model(dtype=dtype, remat=remat, **model_args))
+        params = init_model.init(jax.random.PRNGKey(rng_seed),
+                                 jnp.zeros((1, 3, res, res), jnp.float32),
+                                 jnp.zeros((1,), jnp.float32), **init_kwargs)
         # a freshly initialised ADM UNet computes F(x) == 0 (the reference's
         # zero_module layers are mirrored for conversion parity) — randomise
         # them so random-init smoke runs exercise the whole network

@@ -48,6 +48,16 @@ class UNetConfig:
     use_new_attention_order: bool = False
     dtype: jnp.dtype = jnp.bfloat16  # torso compute dtype
     remat: bool = True               # rematerialise ResBlocks under grad
+    # (data_axis, model_axis) mesh-axis names, or None: when set, NHWC torso
+    # activations are pinned to PartitionSpec(data, model, None, None) — batch
+    # over the data axis, image HEIGHT over the model axis (XLA GSPMD spatial
+    # partitioning: 3x3 convs get automatic halo exchanges over ICI, GroupNorm
+    # statistics and attention insert the matching collectives). This is the
+    # TPU-native scaling path for activation/vjp HBM past one chip — the
+    # reference has no model parallelism at all (SURVEY.md §2.2; its only
+    # axis is DP evaluation). Requires an ambient `with mesh:` whose axis
+    # names match, and H divisible by the model-axis size at every level.
+    spatial_partition: Optional[Tuple[Optional[str], Optional[str]]] = None
 
     @property
     def label_dim(self) -> int:
@@ -239,9 +249,20 @@ class UNetModel(nn.Module):
         if cfg.remat:
             res_block = nn.remat(ResBlock, static_argnums=())
 
+        if cfg.spatial_partition is not None:
+            from jax.sharding import PartitionSpec as _P
+            _da, _ma = cfg.spatial_partition
+            _spec = _P(_da, _ma, None, None)  # NHWC: batch x height sharded
+
+            def pin(t):
+                return jax.lax.with_sharding_constraint(t, _spec)
+        else:
+            def pin(t):
+                return t
+
         h = jnp.transpose(x, (0, 2, 3, 1)).astype(cfg.dtype)  # NCHW -> NHWC torso
         ch = int(cfg.channel_mult[0] * cfg.model_channels)
-        h = _conv(ch, dtype=cfg.dtype, name="in_conv")(h)
+        h = pin(_conv(ch, dtype=cfg.dtype, name="in_conv")(pin(h)))
         hs = [h]
         ds = 1
         block_id = 0
@@ -249,33 +270,33 @@ class UNetModel(nn.Module):
         for level, mult in enumerate(cfg.channel_mult):
             for _ in range(cfg.num_res_blocks):
                 ch = int(mult * cfg.model_channels)
-                h = res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
-                              dtype=cfg.dtype, name=f"down_{block_id}_res")(h, emb)
+                h = pin(res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+                              dtype=cfg.dtype, name=f"down_{block_id}_res")(h, emb))
                 if ds in cfg.attention_resolutions:
-                    h = AttentionBlock(ch, n_heads(ch, cfg.num_heads),
+                    h = pin(AttentionBlock(ch, n_heads(ch, cfg.num_heads),
                                        cfg.use_new_attention_order, dtype=cfg.dtype,
-                                       name=f"down_{block_id}_attn")(h)
+                                       name=f"down_{block_id}_attn")(h))
                 hs.append(h)
                 block_id += 1
             if level != len(cfg.channel_mult) - 1:
                 if cfg.resblock_updown:
-                    h = res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+                    h = pin(res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                                   down=True, dtype=cfg.dtype,
-                                  name=f"down_{block_id}_res")(h, emb)
+                                  name=f"down_{block_id}_res")(h, emb))
                 else:
-                    h = Downsample(ch, cfg.conv_resample, dtype=cfg.dtype,
-                                   name=f"down_{block_id}_ds")(h)
+                    h = pin(Downsample(ch, cfg.conv_resample, dtype=cfg.dtype,
+                                   name=f"down_{block_id}_ds")(h))
                 hs.append(h)
                 ds *= 2
                 block_id += 1
 
         # --- middle ---
-        h = res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
-                      dtype=cfg.dtype, name="mid_res0")(h, emb)
-        h = AttentionBlock(ch, n_heads(ch, cfg.num_heads), cfg.use_new_attention_order,
-                           dtype=cfg.dtype, name="mid_attn")(h)
-        h = res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
-                      dtype=cfg.dtype, name="mid_res1")(h, emb)
+        h = pin(res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+                      dtype=cfg.dtype, name="mid_res0")(h, emb))
+        h = pin(AttentionBlock(ch, n_heads(ch, cfg.num_heads), cfg.use_new_attention_order,
+                           dtype=cfg.dtype, name="mid_attn")(h))
+        h = pin(res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+                      dtype=cfg.dtype, name="mid_res1")(h, emb))
 
         # --- decoder ---
         block_id = 0
@@ -284,28 +305,37 @@ class UNetModel(nn.Module):
                 skip = hs.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = int(mult * cfg.model_channels)
-                h = res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
-                              dtype=cfg.dtype, name=f"up_{block_id}_res")(h, emb)
+                h = pin(res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+                              dtype=cfg.dtype, name=f"up_{block_id}_res")(h, emb))
                 if ds in cfg.attention_resolutions:
-                    h = AttentionBlock(ch, n_heads(ch, heads_up),
+                    h = pin(AttentionBlock(ch, n_heads(ch, heads_up),
                                        cfg.use_new_attention_order, dtype=cfg.dtype,
-                                       name=f"up_{block_id}_attn")(h)
+                                       name=f"up_{block_id}_attn")(h))
                 if level and i == cfg.num_res_blocks:
                     if cfg.resblock_updown:
-                        h = res_block(out_channels=ch,
+                        h = pin(res_block(out_channels=ch,
                                       use_scale_shift_norm=cfg.use_scale_shift_norm,
                                       up=True, dtype=cfg.dtype,
-                                      name=f"up_{block_id}_us")(h, emb)
+                                      name=f"up_{block_id}_us")(h, emb))
                     else:
-                        h = Upsample(ch, cfg.conv_resample, dtype=cfg.dtype,
-                                     name=f"up_{block_id}_us")(h)
+                        h = pin(Upsample(ch, cfg.conv_resample, dtype=cfg.dtype,
+                                     name=f"up_{block_id}_us")(h))
                     ds //= 2
                 block_id += 1
 
         h = h.astype(jnp.float32)
         h = GroupNorm32(ch, apply_silu=True, name="out_norm")(h)
         h = _conv(cfg.out_channels, dtype=jnp.float32, name="out_conv", zero_init=True)(h)
-        return jnp.transpose(h, (0, 3, 1, 2))  # NHWC -> NCHW
+        h = jnp.transpose(h, (0, 3, 1, 2))  # NHWC -> NCHW
+        if cfg.spatial_partition is not None:
+            # spatial partitioning is a TORSO-internal strategy (activation /
+            # vjp HBM); hand the output back batch-sharded so the guidance
+            # algebra (FFT solvers in particular — XLA CPU's fft thunk
+            # rejects the halo-partitioned layouts) sees replicated H/W.
+            from jax.sharding import PartitionSpec as _P
+            h = jax.lax.with_sharding_constraint(
+                h, _P(cfg.spatial_partition[0], None, None, None))
+        return h
 
 
 def create_model(image_size=256, num_channels=256, num_res_blocks=2, channel_mult="",
@@ -313,7 +343,8 @@ def create_model(image_size=256, num_channels=256, num_res_blocks=2, channel_mul
                  num_heads=4, num_head_channels=64, num_heads_upsample=-1,
                  use_scale_shift_norm=True, dropout=0.0, resblock_updown=True,
                  use_fp16=False, use_new_attention_order=False, use_checkpoint=False,
-                 dtype=jnp.bfloat16, remat=True, **_unused) -> UNetModel:
+                 dtype=jnp.bfloat16, remat=True, spatial_partition=None,
+                 **_unused) -> UNetModel:
     """Build a UNet from the OpenAI setup-file argument surface
     (reference ``training/openai_util.py:130-186``)."""
     if channel_mult == "" or channel_mult is None:
@@ -331,5 +362,7 @@ def create_model(image_size=256, num_channels=256, num_res_blocks=2, channel_mul
         num_heads_upsample=num_heads_upsample,
         use_scale_shift_norm=use_scale_shift_norm, resblock_updown=resblock_updown,
         use_new_attention_order=use_new_attention_order, dtype=dtype, remat=remat,
+        spatial_partition=(tuple(spatial_partition)
+                           if spatial_partition is not None else None),
     )
     return UNetModel(cfg)

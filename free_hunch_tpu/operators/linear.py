@@ -26,6 +26,7 @@ import numpy as np
 
 from free_hunch_tpu.operators import assets, masks
 from free_hunch_tpu.operators.resize import build_resizer
+from free_hunch_tpu.ops import fftops
 from free_hunch_tpu.ops.fftops import downsample, fft_conv, p2o_np, upsample
 
 __OPERATOR__ = {}
@@ -306,7 +307,7 @@ class PhaseRetrievalOperator(NonLinearOperator):
         p = self.pad
         padded = jnp.pad(data, ((0, 0), (0, 0), (p, p), (p, p)))
         # centered, orthonormal 2-D FFT amplitude
-        f = jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(
+        f = jnp.fft.fftshift(fftops.fft2(jnp.fft.ifftshift(
             padded.astype(jnp.complex64), axes=(-2, -1)), norm="ortho"), axes=(-2, -1))
         amp = jnp.abs(f)
         return self._noise(amp, noiseless, key)

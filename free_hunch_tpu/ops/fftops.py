@@ -7,7 +7,58 @@ ops on TPU. Arrays are NCHW to match the operator math of the reference.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _pin_default_layout(x: jnp.ndarray) -> jnp.ndarray:
+    """CPU-backend workaround for an XLA layout-assignment gap under GSPMD.
+
+    With spatial model parallelism active (``UNetConfig.spatial_partition``)
+    the partitioner's all-gather over the image-height dimension propagates
+    an H-major layout preference into downstream fft *results*, and layout
+    assignment then copies the fft operands into that non-monotonic layout —
+    which the CPU thunk runtime rejects at execution time (RET_CHECK
+    ``xla/backends/cpu/runtime/fft_thunk.cc:167`` IsMonotonicWithDim0Major).
+    Pinning both the operand and the result of every 2-D fft to the default
+    major-to-minor layout breaks that propagation chain; where the default
+    layout was already chosen this is a no-op. Strictly CPU-gated: the TPU
+    fft lowering takes a different path (and the axon AOT pipeline rejects
+    LayoutConstraint custom-calls on complex operands).
+    """
+    if jax.default_backend() != "cpu" or x.ndim <= 1:
+        return x
+    from jax.experimental.layout import Layout, with_layout_constraint
+    return with_layout_constraint(
+        x, Layout(major_to_minor=tuple(range(x.ndim))))
+
+
+def fft2(x: jnp.ndarray, **kw) -> jnp.ndarray:
+    """``jnp.fft.fft2`` with default-layout pinning (see _pin_default_layout)."""
+    return _pin_default_layout(jnp.fft.fft2(_pin_default_layout(x), **kw))
+
+
+def ifft2(x: jnp.ndarray, **kw) -> jnp.ndarray:
+    return _pin_default_layout(jnp.fft.ifft2(_pin_default_layout(x), **kw))
+
+
+def rfft2(x: jnp.ndarray, **kw) -> jnp.ndarray:
+    return _pin_default_layout(jnp.fft.rfft2(_pin_default_layout(x), **kw))
+
+
+def irfft2(x: jnp.ndarray, **kw) -> jnp.ndarray:
+    return _pin_default_layout(jnp.fft.irfft2(_pin_default_layout(x), **kw))
+
+
+def fftn2(x: jnp.ndarray, **kw) -> jnp.ndarray:
+    """``jnp.fft.fftn`` over the last two axes, layout-pinned."""
+    return _pin_default_layout(
+        jnp.fft.fftn(_pin_default_layout(x), axes=(-2, -1), **kw))
+
+
+def ifftn2(x: jnp.ndarray, **kw) -> jnp.ndarray:
+    return _pin_default_layout(
+        jnp.fft.ifftn(_pin_default_layout(x), axes=(-2, -1), **kw))
 
 
 def p2o_np(psf, shape):
@@ -91,27 +142,27 @@ def pre_calculate(x: jnp.ndarray, k: jnp.ndarray, sf: int):
     FBC = jnp.conj(FB)
     F2B = jnp.abs(FB) ** 2
     STy = upsample(x, sf=sf)
-    FBFy = FBC * jnp.fft.fftn(STy.astype(jnp.complex64), axes=(-2, -1))
+    FBFy = FBC * fftn2(STy.astype(jnp.complex64))
     return FB, FBC, F2B, FBFy
 
 
 def fft_conv(x: jnp.ndarray, FB: jnp.ndarray) -> jnp.ndarray:
     """Circular convolution via the precomputed OTF: real(ifft2(FB * fft2(x)))."""
-    return jnp.fft.ifft2(FB * jnp.fft.fft2(x.astype(jnp.complex64))).real.astype(x.dtype)
+    return ifft2(FB * fft2(x.astype(jnp.complex64))).real.astype(x.dtype)
 
 
 def fft2c(x: jnp.ndarray) -> jnp.ndarray:
     """Centered orthonormal 2-D FFT (reference measurement_utils/
     fastmri_utils.py centered helpers; used by phase retrieval)."""
     x = jnp.fft.ifftshift(x, axes=(-2, -1))
-    x = jnp.fft.fft2(x, norm="ortho")
+    x = fft2(x, norm="ortho")
     return jnp.fft.fftshift(x, axes=(-2, -1))
 
 
 def ifft2c(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse of ``fft2c``."""
     x = jnp.fft.ifftshift(x, axes=(-2, -1))
-    x = jnp.fft.ifft2(x, norm="ortho")
+    x = ifft2(x, norm="ortho")
     return jnp.fft.fftshift(x, axes=(-2, -1))
 
 
@@ -120,11 +171,11 @@ def data_solution(x: jnp.ndarray, FB, FBC, F2B, FBFy, alpha, sf: int) -> jnp.nda
     splitting (reference ``utils_sisr.data_solution:65``; consumed by
     DiffPIR-style solvers)."""
     alpha = jnp.clip(jnp.asarray(alpha, jnp.float32), min=1e-2)
-    FR = FBFy + jnp.fft.fftn((alpha * x).astype(jnp.complex64), axes=(-2, -1))
+    FR = FBFy + fftn2((alpha * x).astype(jnp.complex64))
     x1 = FB * FR
     FBR = jnp.mean(splits(x1, sf), axis=-1)
     invW = jnp.mean(splits(F2B, sf), axis=-1)
     invWBR = FBR / (invW + alpha)
     FCBinvWBR = FBC * jnp.tile(invWBR, (1, 1, sf, sf))
     FX = (FR - FCBinvWBR) / alpha.astype(jnp.complex64)
-    return jnp.fft.ifftn(FX, axes=(-2, -1)).real.astype(x.dtype)
+    return ifftn2(FX).real.astype(x.dtype)

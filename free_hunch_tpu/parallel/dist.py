@@ -32,18 +32,27 @@ def init(coordinator_address: Optional[str] = None,
     if _initialized:
         return  # idempotent: the CLI initialises before its first rank query,
         # then the Evaluator calls init() again
+    env_platforms = os.environ.get("JAX_PLATFORMS", "").strip()
+    if env_platforms:
+        # honor an explicitly-set JAX_PLATFORMS for single-process runs too:
+        # TPU plugins may overwrite jax_platforms at import (e.g. to
+        # "axon,cpu"), silently ignoring the env var — so `JAX_PLATFORMS=cpu
+        # python generate_conditional.py ...` would run on the TPU
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass  # backend already initialised; use whatever is in place
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = num_processes if num_processes is not None else \
         int(os.environ.get("JAX_NUM_PROCESSES", 0) or 0)
     if addr and nproc > 1:
         pid = process_id if process_id is not None else \
             int(os.environ.get("JAX_PROCESS_INDEX", os.environ.get("RANK", 0)))
-        if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        if env_platforms == "cpu":
             try:
-                jax.config.update("jax_platforms", "cpu")
                 jax.config.update("jax_cpu_collectives_implementation", "gloo")
             except Exception:
-                pass  # backend already initialised; use whatever is in place
+                pass
         jax.distributed.initialize(coordinator_address=addr,
                                    num_processes=nproc, process_id=pid)
     _initialized = True

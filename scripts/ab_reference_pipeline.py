@@ -42,10 +42,12 @@ def run_ab(res=64, channels=32, num_res_blocks=1, steps=30, seed=0,
            operator="gaussian_blur"):
     """Run the A/B; returns a dict of agreement metrics.
 
-    operator: 'gaussian_blur' (61x61 std3.0 paper kernel) or
-    'super_resolution' (bicubic x4, the paper's SISR configuration) — the
-    free-running comparison exercises the tailored covariance solver family
-    end to end for that measurement."""
+    operator: any of the four paper operators — 'gaussian_blur' (61x61
+    std3.0 paper kernel), 'super_resolution' (bicubic x4),
+    'motion_blur' (shipped 61x61 std0.5 PSF, identical file both sides) or
+    'inpainting' (random p=0.3 mask shared by injection) — the free-running
+    comparison exercises the tailored covariance solver family end to end
+    for that measurement."""
     import torch
     install_reference_stubs()
 
@@ -129,6 +131,31 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
     if operator == "super_resolution":
         op_kw = dict(name="super_resolution", in_shape=(1, 3, res, res),
                      scale_factor=4, sigma_s=0.0, device="cpu")
+    elif operator == "motion_blur":
+        # both sides load the identical shipped 61x61 PSF (verified byte-equal
+        # with the packaged copy): reference measurements.py:135, our
+        # operators/assets.py motion_blur_kernel()
+        op_kw = dict(name="motion_blur", in_shape=(1, 3, res, res),
+                     kernel_size=61, intensity=0.5, sigma_s=0.0, device="cpu")
+    elif operator == "inpainting":
+        # shared random mask: the reference's InpaintingOperator draws its
+        # mask from the torch RNG at construction time, so the pre-built
+        # operator (with OUR mask injected) is patched into the reference
+        # sampler via ref_gc.get_operator
+        mask_hw = (np.random.default_rng(seed + 2).uniform(size=(res, res))
+                   > 0.3).astype(np.float32)
+        inp_mask = np.broadcast_to(mask_hw, (1, 3, res, res)).copy()
+        from measurement_utils.measurements import InpaintingOperator
+        t_op = InpaintingOperator.__new__(InpaintingOperator)
+        t_op.device = "cpu"
+        t_op.sigma_s = torch.tensor([0.0])
+        t_op.in_shape = (1, 3, res, res)
+        t_op.mask = torch.from_numpy(inp_mask)
+        orig_get_op = ref_gc.get_operator
+        ref_gc.get_operator = lambda **kw: t_op
+        op_kw = dict(name="inpainting", sigma_s=0.0, device="cpu",
+                     mask_opt={"mask_type": "random", "image_size": res,
+                               "mask_prob_range": (0.3, 0.3)})
     else:
         op_kw = dict(name="gaussian_blur", in_shape=(1, 3, res, res),
                      kernel_size=61, intensity=3.0, sigma_s=0.0, device="cpu")
@@ -155,9 +182,18 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
     if verbose:
         print(f"reference done in {t_ref:.1f}s", file=sys.stderr, flush=True)
 
+    if operator == "inpainting":
+        ref_gc.get_operator = orig_get_op
+
     if operator == "super_resolution":
         j_op = get_operator(name="super_resolution", in_shape=(1, 3, res, res),
                             scale_factor=4, sigma_s=0.0)
+    elif operator == "motion_blur":
+        j_op = get_operator(name="motion_blur", in_shape=(1, 3, res, res),
+                            sigma_s=0.0)  # packaged motion_ks61_std0.5 PSF
+    elif operator == "inpainting":
+        j_op = get_operator(name="inpainting", sigma_s=0.0, mask=inp_mask,
+                            in_shape=(1, 3, res, res))
     else:
         kernel = np.load("/root/reference/measurement_utils/kernels/"
                          "gaussian_ks61_std3.0.npy")
@@ -216,9 +252,10 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
         protocol=dict(res=res, model_channels=channels,
                       num_res_blocks=num_res_blocks, steps=steps,
                       denoiser_evals=2 * steps - 1, basis=basis,
-                      operator=("super_resolution bicubic x4"
-                                if operator == "super_resolution"
-                                else "gaussian_blur 61x61 std3.0"),
+                      operator={"super_resolution": "super_resolution bicubic x4",
+                                "motion_blur": "motion_blur 61x61 std0.5 (shipped PSF)",
+                                "inpainting": "inpainting random p=0.3 (shared mask)",
+                                }.get(operator, "gaussian_blur 61x61 std3.0"),
                       sigma_s=0.0,
                       mechanism="online_covariance (Free Hunch)",
                       rtol_floor=rtol_floor, seed=seed,
@@ -780,12 +817,12 @@ def main():
                     default="both")
     ap.add_argument("--operator", default="inpainting",
                     choices=["inpainting", "gaussian_blur",
-                             "super_resolution"],
+                             "super_resolution", "motion_blur"],
                     help="teacher-forced mode operator (inpainting gives a "
                          "well-conditioned guidance system -> strict parity; "
-                         "gaussian_blur reports the loose-CG error profile); "
-                         "free mode accepts gaussian_blur (default) or "
-                         "super_resolution (bicubic x4)")
+                         "gaussian_blur reports the loose-CG error profile; "
+                         "motion_blur falls back to gaussian_blur there); "
+                         "free mode accepts all four paper operators")
     ap.add_argument("--precision", choices=["f32", "f64"], default="f32",
                     help="f64: our algebra+CG in float64 (jax_enable_x64), "
                          "stall off, maxiter matched — the decisive "
@@ -818,10 +855,12 @@ def main():
 
     out = {}
     if args.mode in ("teacher", "both"):
+        teacher_op = (args.operator if args.operator != "motion_blur"
+                      else "gaussian_blur")  # same FFT-blur solver family
         out["teacher_forced"] = run_ab_teacher_forced(
             res=args.res, channels=args.channels,
             num_res_blocks=args.num_res_blocks, steps=args.steps,
-            seed=args.seed, basis=args.basis, operator=args.operator,
+            seed=args.seed, basis=args.basis, operator=teacher_op,
             precision=args.precision, share_net=args.share_net,
             rtol_floor=args.rtol_floor, transport=args.transport,
             max_rtol=args.max_rtol, sigma_s=args.sigma_s)
@@ -829,10 +868,7 @@ def main():
         out["free_running"] = run_ab(
             res=args.res, channels=args.channels,
             num_res_blocks=args.num_res_blocks, steps=args.steps,
-            seed=args.seed, basis=args.basis,
-            operator=(args.operator if args.operator in
-                      ("gaussian_blur", "super_resolution")
-                      else "gaussian_blur"))
+            seed=args.seed, basis=args.basis, operator=args.operator)
     path = args.out or os.path.join(REPO, "docs", f"ab_reference_{args.res}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

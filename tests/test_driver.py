@@ -110,6 +110,29 @@ def test_evaluator_free_hunch_multidevice(tmp_path, setup32):
     assert len(os.listdir(os.path.join(out, "images"))) == 8
 
 
+def test_evaluator_free_hunch_model_parallel(tmp_path, setup32):
+    """mesh_shape=data:4,model:2 turns on model parallelism end to end:
+    the UNet torso is spatially partitioned (height over 'model') and the
+    covariance state is d-sharded — the driver's >1-chip HBM path."""
+    from free_hunch_tpu.eval import Evaluator
+    opts = _opts(tmp_path, setup32,
+                 conditioning_mechanism="online_covariance",
+                 image_base_covariance="dct_diagonal_noinfo",
+                 operator_name="gaussian_blur", kernel_size=61,
+                 total_images=4, batch_size=4, seeds=[0],
+                 mesh_shape="data:4,model:2", cov_capacity=16,
+                 cg_coords="pixel",
+                 space_step_update_lower_threshold=0.01,
+                 space_step_update_threshold=100.0)
+    ev = Evaluator(opts)
+    assert ev._model_parallel
+    assert ev.model.cfg.spatial_partition == ("data", "model")
+    results = ev.run()
+    assert np.isfinite(results["psnr"])
+    out = str(tmp_path / "out")
+    assert len(os.listdir(os.path.join(out, "images"))) == 4
+
+
 def test_cli_entry(tmp_path, setup32, monkeypatch):
     import generate_conditional as gc
     argv = [f"--outdir={tmp_path/'out'}",
