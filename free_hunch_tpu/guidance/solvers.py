@@ -21,9 +21,8 @@ import jax
 import jax.numpy as jnp
 
 import free_hunch_tpu.ops.cg as cg_mod
-from free_hunch_tpu.ops.fftops import (downsample, irfft2, rfft2,
-                                       splits, upsample)
-from free_hunch_tpu.ops import fftops
+from free_hunch_tpu.ops.fftops import (downsample, fft2, ifft2, irfft2,
+                                       rfft2, splits, upsample)
 
 # Requested relative residuals below the f32 floor are numerical noise: the
 # reference's GPU rtol schedule asks for 1e-14 at small sigma
@@ -58,11 +57,11 @@ def rtol_schedule_2(sigma, rtol_max=1.0, rtol_min=1e-4, p=0.05):
 
 def _fft2(x):
     cdt = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
-    return fftops.fft2(x.astype(cdt))
+    return fft2(x.astype(cdt))
 
 
 def _ifft2_r(x):
-    r = fftops.ifft2(x).real
+    r = ifft2(x).real
     return r.astype(jnp.float64 if r.dtype == jnp.float64 else jnp.float32)
 
 

@@ -56,7 +56,10 @@ class UNetConfig:
     # TPU-native scaling path for activation/vjp HBM past one chip — the
     # reference has no model parallelism at all (SURVEY.md §2.2; its only
     # axis is DP evaluation). Requires an ambient `with mesh:` whose axis
-    # names match, and H divisible by the model-axis size at every level.
+    # names match. Heights that the model-axis size does not divide at some
+    # level are legal — GSPMD pads the ragged shard — but waste HBM and MXU
+    # on the padding; size the axis to divide H at every level for the even
+    # split (tests/test_sharded_unet.py pins parity for both cases).
     spatial_partition: Optional[Tuple[Optional[str], Optional[str]]] = None
 
     @property

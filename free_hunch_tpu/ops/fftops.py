@@ -99,7 +99,7 @@ def p2o(psf: jnp.ndarray, shape) -> jnp.ndarray:
     otf = jnp.zeros(psf.shape[:-2] + tuple(shape), dtype=psf.dtype)
     otf = otf.at[..., :h, :w].set(psf)
     otf = jnp.roll(otf, (-(h // 2), -(w // 2)), axis=(-2, -1))
-    return jnp.fft.fftn(otf, axes=(-2, -1))
+    return fftn2(otf)
 
 
 def upsample(x: jnp.ndarray, sf: int = 3) -> jnp.ndarray:

@@ -106,16 +106,47 @@ def test_spatially_sharded_vjp_matches_unsharded(data):
                                rtol=5e-5, atol=5e-5)
 
 
-def test_spatial_partition_requires_divisible_height(data):
-    """model-axis size must divide H at every level; the constraint makes
-    XLA raise at compile time rather than silently replicating."""
+def test_spatial_partition_whole_model_axis(data):
+    """data:1,model:8 — the whole mesh on the model axis (8 | H at every
+    level of this config: 32/8=4, 16/8=2)."""
     x, sigma = data
-    mesh = make_mesh("data:1,model:8")  # deepest H = 16 -> 8 | 16 ok; 32/8=4 ok
+    mesh = make_mesh("data:1,model:8")
     sp_pre, params = _build(("data", "model"))
     bsh = NamedSharding(mesh, P("data"))
     with mesh:
         out, _ = jax.jit(sp_pre.apply)(params, jax.device_put(x, bsh), sigma)
     ref_pre, _ = _build(None)
     want, _ = jax.jit(ref_pre.apply)(params, x, sigma)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_spatial_partition_non_divisible_height_pads_but_stays_correct():
+    """When the model-axis size does NOT divide H at some level, GSPMD pads
+    the ragged shard rather than raising — wasteful (padding rows burn HBM
+    and MXU) but numerically correct. Pin the correctness half of that
+    contract: an 8-wide model axis over a net whose deepest level has H=4
+    (8px input, one downsample) must still match the unsharded forward."""
+    res = 8
+    cfg = UNetConfig(image_size=res, in_channels=3, model_channels=32,
+                     out_channels=6, num_res_blocks=1,
+                     attention_resolutions=(2,), channel_mult=(1, 2),
+                     num_heads=2, num_head_channels=16, dtype=jnp.float32,
+                     remat=False, spatial_partition=("data", "model"))
+    model = UNetModel(cfg)
+    init_model = UNetModel(dataclasses.replace(cfg, spatial_partition=None))
+    params = init_model.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 3, res, res)), jnp.zeros((1,)))
+    precond = IDDPMLinearPrecond(model, img_resolution=res, img_channels=3)
+    ref_precond = IDDPMLinearPrecond(init_model, img_resolution=res,
+                                     img_channels=3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, res, res), jnp.float32)
+    sigma = jnp.full((2,), 2.5, jnp.float32)
+    want, _ = jax.jit(ref_precond.apply)(params, x, sigma)
+
+    mesh = make_mesh("data:1,model:8")
+    bsh = NamedSharding(mesh, P("data"))
+    with mesh:
+        out, _ = jax.jit(precond.apply)(params, jax.device_put(x, bsh), sigma)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
