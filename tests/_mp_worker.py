@@ -77,9 +77,56 @@ stats_sync = dict(shared_num=collector.num("shared"),
                   head_num=collector.num("head"),
                   head_mean=collector.mean("head"))
 
+# cross-process MODEL parallelism: a spatially partitioned UNet forward whose
+# height shards live on DIFFERENT processes, so GSPMD's 3x3-conv halo
+# exchanges and GroupNorm/attention reductions run as real gloo collectives
+# (the single-process suite only ever exercises them device-to-device).
+# Each rank computes the unsharded forward locally and checks the replicated
+# sharded output against it.
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from free_hunch_tpu.models.precond import IDDPMLinearPrecond
+from free_hunch_tpu.models.unet import UNetConfig, UNetModel
+
+res = 16
+cfg = UNetConfig(image_size=res, in_channels=3, model_channels=32,
+                 out_channels=6, num_res_blocks=1, attention_resolutions=(2,),
+                 channel_mult=(1, 2), num_heads=2, num_head_channels=16,
+                 dtype=jnp.float32, remat=False,
+                 spatial_partition=("data", "model"))
+model = UNetModel(cfg)
+init_model = UNetModel(dataclasses.replace(cfg, spatial_partition=None))
+params = init_model.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 3, res, res)), jnp.zeros((1,)))
+rng_x = np.random.default_rng(7)  # same stream on both ranks
+x = rng_x.standard_normal((2, 3, res, res)).astype(np.float32)
+sigma = np.full((2,), 2.5, np.float32)
+pre = IDDPMLinearPrecond(model, img_resolution=res, img_channels=3)
+ref_pre = IDDPMLinearPrecond(init_model, img_resolution=res, img_channels=3)
+want, _ = jax.jit(ref_pre.apply)(params, x, sigma)  # local single device
+
+mesh = Mesh(np.array(jax.devices()).reshape(1, nproc), ("data", "model"))
+rep = NamedSharding(mesh, P())
+with mesh:
+    fn = jax.jit(pre.apply, in_shardings=(rep, rep, rep),
+                 out_shardings=rep)
+    got, _ = fn(params, x, sigma)
+    compiled = fn.lower(params, x, sigma).compile().as_text()
+mp_unet_err = float(np.max(np.abs(np.asarray(got) - np.asarray(want))))
+mp_unet_communicates = ("collective-permute" in compiled
+                        or "all-gather" in compiled
+                        or "all-reduce" in compiled
+                        or "all-to-all" in compiled)
+
 with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
     json.dump({"rank": get_rank(), "world": get_world_size(),
                "indices": my_indices.tolist(), "reduced": reduced,
                "fid_merge_exact": bool(fid_merge_exact),
-               "stats_sync": stats_sync}, f)
+               "stats_sync": stats_sync,
+               "mp_unet_err": mp_unet_err,
+               "mp_unet_communicates": bool(mp_unet_communicates)}, f)
 print(f"worker {pid} done", flush=True)

@@ -60,6 +60,14 @@ def test_two_process_distributed_cpu(tmp_path):
     # BIT-exactly through the int32-byte allgather (fid.allgather_merge)
     assert [r["fid_merge_exact"] for r in results] == [True, True]
 
+    # cross-process model parallelism: the spatially partitioned UNet ran
+    # with its height shards on different PROCESSES (halo exchanges and
+    # norm/attention reductions as real gloo collectives) and matched each
+    # rank's locally computed unsharded forward
+    for r in results:
+        assert r["mp_unet_communicates"], "sharded UNet compiled collective-free"
+        assert r["mp_unet_err"] < 2e-5, r["mp_unet_err"]
+
     # training-stats sync with RANK-DIVERGENT counter names: 'shared' is
     # reported on both ranks (rank sums 2 and 4 over 2 samples each) and
     # 'head' only on rank 0 via report0 — both ranks must see the union
