@@ -41,7 +41,10 @@ def conv_cost(shapes):
     """(flops, bytes) for a conv fusion given its HLO shapes.
 
     Heuristic: the weight operand is the 4-d shape with two small leading
-    (spatial kernel) dims; the activation output is the largest 4-d shape.
+    (spatial kernel) dims. The output is the largest NHWC activation whose
+    CHANNEL (last) dim matches either kernel channel axis — in backward
+    (transpose) convs the kernel's I/O roles swap, so the reduction depth is
+    whichever kernel channel axis the output channel count does NOT match.
     FLOPs = 2 * output_elems * kh * kw * Cin.
     """
     weight = None
@@ -54,15 +57,18 @@ def conv_cost(shapes):
                 weight = (dtype, s)
     if weight is None:
         return None, None
-    kh, kw, cin, cout = weight[1]
-    # output: largest 4-d activation whose channel dim matches cout
+    kh, kw, wa, wb = weight[1]
+    # output: largest 4-d activation whose last (channel) dim matches a
+    # kernel channel axis
     out = None
     for dtype, s in shapes:
-        if len(s) == 4 and s != weight[1] and cout in s:
+        if len(s) == 4 and s != weight[1] and s[-1] in (wa, wb):
             if out is None or math.prod(s) > math.prod(out[1]):
                 out = (dtype, s)
     if out is None:
         return None, None
+    cout = out[1][-1]
+    cin = wa if cout == wb else wb
     out_elems = math.prod(out[1])
     flops = 2.0 * out_elems * kh * kw * cin
     # min bytes: read input activation (approx out_elems * cin/cout scaled),

@@ -78,8 +78,9 @@ def parse_trace(tdir):
         for k in ("long_name", "tf_op", "source", "hlo_category", "tf_name_scope"):
             if k in args and k not in a["meta"]:
                 # keep enough of the HLO text that every operand shape
-                # survives (conv_roofline.py parses them)
-                a["meta"][k] = str(args[k])[:700]
+                # survives (conv_roofline.py parses them) — backward conv
+                # fusions list several activation operands before the kernel
+                a["meta"][k] = str(args[k])[:2500]
     return agg, total_us, sorted(tracks)
 
 
@@ -105,12 +106,17 @@ def main():
     out_path = os.environ.get(
         "OP_OUT", os.path.join("docs", "bench", f"op_profile_{mode}.json"))
 
-    log(f"devices: {jax.devices()}")
+    # OP_REMAT=0 (default) matches the headline bench path (BENCH_REMAT=0):
+    # the vjp profile must not include remat recompute kernels
+    remat = os.environ.get("OP_REMAT", "0") == "1"
+    quant = os.environ.get("OP_QUANT") or None
+
+    log(f"devices: {jax.devices()}  remat={remat} quant={quant}")
     t0 = time.time()
     model, params, model_args = load_model(
         "models/256x256_diffusion_uncond.pt",
         "models/256x256_diffusion_uncond_setup.txt",
-        dtype=dtype, init_random_if_missing=True)
+        dtype=dtype, init_random_if_missing=True, remat=remat, quant=quant)
     precond = wrap_precond(model, model_args, "linear")
     log(f"model loaded in {time.time() - t0:.1f}s")
 
@@ -223,6 +229,7 @@ def main():
     result = {
         "mode": mode, "batch": batch, "res": res,
         "dtype": os.environ.get("OP_DTYPE", "bf16"),
+        "remat": remat, "quant": quant,
         "steady_state_ms": round(wall_s * 1e3, 2),
         "device_us_per_iter": round(per_iter_us, 1),
         "xla_flops_per_call": flops,
@@ -241,8 +248,20 @@ def main():
              "count_per_iter": a["count"] // iters,
              **{k: v for k, v in a["meta"].items() if k in
                 ("tf_op", "hlo_category", "source")},
-             "long_name": a["meta"].get("long_name", "")[:200]}
-            for name, a in rows[:45]],
+             "long_name": a["meta"].get("long_name", "")[:1500]}
+            for name, a in rows[:60]],
+        # every conv fusion (not just top-60): conv_roofline.py needs the
+        # complete set for a total-coverage roofline
+        "all_ops": [
+            {"name": name,
+             "us_per_iter": round(a["us"] / iters, 1),
+             "pct": round(100 * a["us"] / total_us, 2),
+             "count_per_iter": a["count"] // iters,
+             **{k: v for k, v in a["meta"].items() if k in
+                ("tf_op", "hlo_category")},
+             "long_name": a["meta"].get("long_name", "")[:1500]}
+            for name, a in rows
+            if cat_of(name, a["meta"]) == "convolution fusion"],
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
