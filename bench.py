@@ -55,11 +55,16 @@ def main():
              or os.environ.get("BENCH_GRAD") == "hybrid")
     if remat and os.environ.get("BENCH_REMAT", "0") != "1":
         log("BENCH_GRAD=hybrid forces remat=True (cond-boundary residuals)")
+    # BENCH_QUANT=int8: torso convs + attention projections on the v5e int8
+    # MXU (2x the bf16 peak), int8 pullback included — ops/quant.py; error
+    # budget + quality gates in tests/test_quant.py and
+    # docs/bench/int8_quality_ab.json
+    quant = os.environ.get("BENCH_QUANT") or None
     model, params, model_args = load_model(
         "models/256x256_diffusion_uncond.pt",
         "models/256x256_diffusion_uncond_setup.txt",
         dtype=jnp.bfloat16, init_random_if_missing=True,
-        remat=remat)
+        remat=remat, quant=quant)
     precond = wrap_precond(model, model_args, "linear")
 
     op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),

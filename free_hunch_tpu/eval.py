@@ -101,7 +101,14 @@ class Evaluator:
         self._key_mask = jax.random.fold_in(self.key, 0)
         self._key_batch = jax.random.fold_in(self.key, 1)
         self._key_enc = jax.random.fold_in(self.key, 2)
-        self.mesh = make_mesh(opts.get("mesh_shape", "data:-1"))
+        # PROCESS-LOCAL mesh: the driver's parallel design is the
+        # reference's (SURVEY.md §2.2) — images strided across processes
+        # (shard_indices below), each process computing its own batches —
+        # so the mesh parallelises devices WITHIN a process only. A global
+        # mesh here would try to device_put local batches onto other
+        # processes' non-addressable devices.
+        self.mesh = make_mesh(opts.get("mesh_shape", "data:-1"),
+                              devices=jax.local_devices())
         mesh_axes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
         # mesh_shape=data:N,model:M (M>1) turns on model parallelism: the
         # UNet torso is spatially partitioned (height over 'model', GSPMD
@@ -121,12 +128,15 @@ class Evaluator:
             logger.warning("guidance_gradient=hybrid forces remat=True "
                            "(cond-boundary pullback residuals)")
             remat = True
+        quant = opts.get("quant", "none")
+        quant = None if quant in (None, "none", "") else quant
         self.model, self.params, model_args = load_model(
             opts.get("openai_state_dict_path"), opts["openai_setup_path"],
             dtype=dtype, remat=remat,
             init_random_if_missing=bool(opts.get("allow_random_init", False)),
             spatial_partition=(("data", "model") if self._model_parallel
-                               else None))
+                               else None),
+            quant=quant)
         self.precond = wrap_precond(self.model, model_args,
                                     opts.get("iddpm_preconditioning", "linear"))
         self.res = model_args.get("image_size", 256)
@@ -470,6 +480,20 @@ class Evaluator:
             n_batches += 1
             logger.info(f"batch {n_batches}: psnr={p:.3f} ssim={np.mean(s_vals):.4f} "
                         f"lpips={lp:.4f}")
+            kill_after = opts.get("fault_kill_after_batches")
+            if kill_after and (n_batches - n_resumed) >= int(kill_after):
+                # fault-injection hook (tests/test_multiprocess.py): simulate
+                # a hard crash (kill -9) AFTER this batch's artifacts and
+                # journal record hit disk. The elastic-recovery contract: a
+                # restart with --resume replays the journaled batches and
+                # recomputes the rest, reproducing the uninterrupted run's
+                # journal byte-for-byte. (The reference has no recovery at
+                # all — torch_utils/distributed.py:59-70 stubs.)
+                import signal
+                journal.close()
+                logger.warning(f"fault injection: SIGKILL after "
+                               f"{kill_after} computed batches")
+                os.kill(os.getpid(), signal.SIGKILL)
 
         journal.close()
         elapsed = time.time() - t0

@@ -55,8 +55,8 @@ def parse_setup_txt(text: str) -> dict:
 
 def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
                init_random_if_missing: bool = False, rng_seed: int = 0,
-               remat: bool = True,
-               spatial_partition=None) -> Tuple[UNetModel, dict, dict]:
+               remat: bool = True, spatial_partition=None,
+               quant=None) -> Tuple[UNetModel, dict, dict]:
     """Build the UNet per the setup file and load converted weights.
 
     Returns (model, params, model_args). When the .pt checkpoint is absent
@@ -71,7 +71,8 @@ def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
     with open(setup_path, "r") as f:
         model_args = parse_setup_txt(f.read())
     model = create_model(dtype=dtype, remat=remat,
-                         spatial_partition=spatial_partition, **model_args)
+                         spatial_partition=spatial_partition, quant=quant,
+                         **model_args)
 
     cache = state_dict_path + ".npz" if state_dict_path else None
     cached = _try_load_cache(cache)

@@ -61,6 +61,13 @@ class UNetConfig:
     # on the padding; size the axis to divide H at every level for the even
     # split (tests/test_sharded_unet.py pins parity for both cases).
     spatial_partition: Optional[Tuple[Optional[str], Optional[str]]] = None
+    # quant="int8": torso stride-1 convs + attention qkv/proj run on the v5e
+    # int8 MXU (2x the bf16 peak) with per-channel int8 weights, dynamic
+    # per-sample activation scales, int32 accumulation, and an int8 pullback
+    # (ops/quant.py). The first in_conv, final out_conv (learned-sigma /
+    # x0_var channels), GroupNorms, softmax, and time embedding stay
+    # high-precision. None = bf16 torso (default).
+    quant: Optional[str] = None
 
     @property
     def label_dim(self) -> int:
@@ -97,7 +104,15 @@ class GroupNorm32(nn.Module):
         return groupnorm_silu(x, scale, bias, 32, 1e-5, self.apply_silu)
 
 
-def _conv(features, kernel=3, stride=1, dtype=jnp.bfloat16, name=None, zero_init=False):
+def _conv(features, kernel=3, stride=1, dtype=jnp.bfloat16, name=None,
+          zero_init=False, quant=None):
+    if quant == "int8" and stride == 1:
+        # int8 MXU path; same param names/shapes (kernel HWIO, bias) so
+        # checkpoint conversion is untouched. Stride-2 convs (only present
+        # when resblock_updown=False) fall through to the bf16 conv.
+        from free_hunch_tpu.ops.quant import QuantConv
+        return QuantConv(features, kernel, zero_init=zero_init, dtype=dtype,
+                         name=name)
     init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
     # explicit symmetric torch-style padding (k//2 per side): XLA "SAME"
     # resolves to ASYMMETRIC (0, 1) padding for stride-2 kernel-3 convs,
@@ -146,6 +161,7 @@ class ResBlock(nn.Module):
     down: bool = False
     conv_shortcut: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, emb):
@@ -157,7 +173,8 @@ class ResBlock(nn.Module):
         elif self.down:
             h = Downsample(c_in, use_conv=False, dtype=self.dtype)(h)
             x = Downsample(c_in, use_conv=False, dtype=self.dtype)(x)
-        h = _conv(self.out_channels, dtype=self.dtype, name="in_conv")(h)
+        h = _conv(self.out_channels, dtype=self.dtype, name="in_conv",
+                  quant=self.quant)(h)
 
         emb_out = nn.Dense(2 * self.out_channels if self.use_scale_shift_norm
                            else self.out_channels,
@@ -171,14 +188,17 @@ class ResBlock(nn.Module):
         else:
             h = h + emb_out
             h = GroupNorm32(self.out_channels, apply_silu=True, name="out_norm")(h)
-        h = _conv(self.out_channels, dtype=self.dtype, name="out_conv", zero_init=True)(h)
+        h = _conv(self.out_channels, dtype=self.dtype, name="out_conv",
+                  zero_init=True, quant=self.quant)(h)
 
         if self.out_channels == c_in:
             skip = x
         elif self.conv_shortcut:
-            skip = _conv(self.out_channels, dtype=self.dtype, name="skip")(x)
+            skip = _conv(self.out_channels, dtype=self.dtype, name="skip",
+                         quant=self.quant)(x)
         else:
-            skip = _conv(self.out_channels, kernel=1, dtype=self.dtype, name="skip")(x)
+            skip = _conv(self.out_channels, kernel=1, dtype=self.dtype,
+                         name="skip", quant=self.quant)(x)
         return skip + h
 
 
@@ -193,6 +213,7 @@ class AttentionBlock(nn.Module):
     num_heads: int
     use_new_attention_order: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -201,8 +222,12 @@ class AttentionBlock(nn.Module):
         ch = c // heads
         t = h * w
         y = GroupNorm32(c, name="norm")(x).reshape(n, t, c)
-        qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32,
-                       name="qkv")(y)  # (n, t, 3c)
+        if self.quant == "int8":
+            from free_hunch_tpu.ops.quant import QuantDense
+            qkv = QuantDense(3 * c, dtype=self.dtype, name="qkv")(y)
+        else:
+            qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32,
+                           name="qkv")(y)  # (n, t, 3c)
         if self.use_new_attention_order:
             # [all-q | all-k | all-v], heads inside each block.
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -218,8 +243,14 @@ class AttentionBlock(nn.Module):
                             (k * scale).astype(jnp.float32))
         weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         a = jnp.einsum("nhts,nshc->nthc", weights, v).reshape(n, t, c)
-        a = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
-                     kernel_init=nn.initializers.zeros_init(), name="proj_out")(a)
+        if self.quant == "int8":
+            from free_hunch_tpu.ops.quant import QuantDense
+            a = QuantDense(c, zero_init=True, dtype=self.dtype,
+                           name="proj_out")(a)
+        else:
+            a = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
+                         kernel_init=nn.initializers.zeros_init(),
+                         name="proj_out")(a)
         return x + a.reshape(n, h, w, c)
 
 
@@ -248,9 +279,15 @@ class UNetModel(nn.Module):
             emb = emb + nn.Embed(cfg.num_classes, ted, param_dtype=jnp.float32,
                                  name="label_emb")(y)
 
-        res_block = ResBlock
+        _rb = ResBlock
         if cfg.remat:
-            res_block = nn.remat(ResBlock, static_argnums=())
+            _rb = nn.remat(ResBlock, static_argnums=())
+
+        def res_block(**kw):
+            return _rb(quant=cfg.quant, **kw)
+
+        def attn_block(*a, **kw):
+            return AttentionBlock(*a, quant=cfg.quant, **kw)
 
         if cfg.spatial_partition is not None:
             from jax.sharding import PartitionSpec as _P
@@ -276,7 +313,7 @@ class UNetModel(nn.Module):
                 h = pin(res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                               dtype=cfg.dtype, name=f"down_{block_id}_res")(h, emb))
                 if ds in cfg.attention_resolutions:
-                    h = pin(AttentionBlock(ch, n_heads(ch, cfg.num_heads),
+                    h = pin(attn_block(ch, n_heads(ch, cfg.num_heads),
                                        cfg.use_new_attention_order, dtype=cfg.dtype,
                                        name=f"down_{block_id}_attn")(h))
                 hs.append(h)
@@ -296,7 +333,7 @@ class UNetModel(nn.Module):
         # --- middle ---
         h = pin(res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                       dtype=cfg.dtype, name="mid_res0")(h, emb))
-        h = pin(AttentionBlock(ch, n_heads(ch, cfg.num_heads), cfg.use_new_attention_order,
+        h = pin(attn_block(ch, n_heads(ch, cfg.num_heads), cfg.use_new_attention_order,
                            dtype=cfg.dtype, name="mid_attn")(h))
         h = pin(res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                       dtype=cfg.dtype, name="mid_res1")(h, emb))
@@ -311,7 +348,7 @@ class UNetModel(nn.Module):
                 h = pin(res_block(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
                               dtype=cfg.dtype, name=f"up_{block_id}_res")(h, emb))
                 if ds in cfg.attention_resolutions:
-                    h = pin(AttentionBlock(ch, n_heads(ch, heads_up),
+                    h = pin(attn_block(ch, n_heads(ch, heads_up),
                                        cfg.use_new_attention_order, dtype=cfg.dtype,
                                        name=f"up_{block_id}_attn")(h))
                 if level and i == cfg.num_res_blocks:
@@ -347,7 +384,7 @@ def create_model(image_size=256, num_channels=256, num_res_blocks=2, channel_mul
                  use_scale_shift_norm=True, dropout=0.0, resblock_updown=True,
                  use_fp16=False, use_new_attention_order=False, use_checkpoint=False,
                  dtype=jnp.bfloat16, remat=True, spatial_partition=None,
-                 **_unused) -> UNetModel:
+                 quant=None, **_unused) -> UNetModel:
     """Build a UNet from the OpenAI setup-file argument surface
     (reference ``training/openai_util.py:130-186``)."""
     if channel_mult == "" or channel_mult is None:
@@ -367,5 +404,6 @@ def create_model(image_size=256, num_channels=256, num_res_blocks=2, channel_mul
         use_new_attention_order=use_new_attention_order, dtype=dtype, remat=remat,
         spatial_partition=(tuple(spatial_partition)
                            if spatial_partition is not None else None),
+        quant=quant,
     )
     return UNetModel(cfg)

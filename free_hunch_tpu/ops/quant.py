@@ -1,0 +1,202 @@
+"""Int8 quantized conv/dense for the ADM UNet torso (TPU v5e int8 MXU path).
+
+The v5e's int8 MXU peak (~394 TOP/s) is 2x its bf16 peak — the remaining
+hardware lever toward the 64 samples/min north star after the bf16 kernels
+reached their rooflines (BASELINE.md). This module provides drop-in
+quantized equivalents of the torso's stride-1 convolutions and attention
+dense layers:
+
+* weights: symmetric per-output-channel int8 (scale = absmax/127 over the
+  reduction dims), quantized from the f32 checkpoint params inside jit —
+  the parameter tree and checkpoint conversion are untouched;
+* activations: symmetric per-SAMPLE dynamic int8 (conv is linear per
+  sample, so per-sample scales are exact bookkeeping, not approximation);
+* accumulation: exact int32 on the MXU (`preferred_element_type`), dequant
+  epilogue in f32;
+* pullback: the guidance gradient (one UNet vjp per sampler stage —
+  reference ``conditioning_utils/conditioning_mechanisms.py:280``) is ALSO
+  int8 via ``jax.custom_vjp``: dx of a stride-1 conv is the conv with the
+  spatially-flipped, I/O-transposed kernel, and folding the per-channel
+  weight scale into the cotangent BEFORE quantizing it makes the int8
+  backward an exact factorization (dx = sum_o (g_o * s_o) * wq[..., o] —
+  per-channel scales cannot be factored out of the transposed reduction
+  otherwise).
+
+What stays high-precision (quantization must preserve the denoiser contract
+``D(x, sigma) -> (x0_mean, x0_var)``, reference
+``training/openai_preconditioning.py:167-197``): the first in_conv, the
+final out_conv (zero-init, produces the learned-sigma channels that become
+x0_var), all GroupNorms and softmaxes (f32 already), and the time-embedding
+MLPs (vector-sized).
+
+The weight cotangent is never needed (guidance differentiates w.r.t. x
+only); the backward returns a symbolic zero for it.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _quantize_weight(w: jnp.ndarray, reduce_axes: Tuple[int, ...]):
+    """Symmetric per-output-channel int8: returns (wq, scale).
+
+    ``reduce_axes`` are the reduction dims (everything but the output
+    channel); scale has the weight's rank with size-1 reduction dims.
+    """
+    amax = jnp.max(jnp.abs(w), axis=reduce_axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return wq, scale.astype(jnp.float32)
+
+
+def _quantize_act(x: jnp.ndarray):
+    """Symmetric per-sample dynamic int8 over all non-batch dims.
+
+    The elementwise math stays in the input dtype (bf16 torso): upcasting
+    the whole activation to f32 would double the HBM bytes of the two
+    quantization passes, which the op profile showed dominating the int8
+    saving. bf16 holds integers up to 256 exactly, so round-to-|x|<=127 is
+    exact; the scale itself is f32.
+    """
+    axes = tuple(range(1, x.ndim))
+    amax = jnp.max(jnp.abs(x).astype(jnp.float32), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) * jnp.float32(1.0 / 127.0)
+    inv = (jnp.float32(1.0) / scale).astype(x.dtype)
+    xq = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def int8_conv(x, w, pad):
+    """Stride-1 2-D conv (NHWC x HWIO), int8 MXU forward + int8 pullback.
+
+    x: (N, H, W, I), any float dtype; w: (kh, kw, I, O) float32 master
+    weights. pad: static symmetric spatial padding (k // 2).
+    Returns x.dtype (N, H, W, O) — keeping the dequant epilogue and the
+    cotangent stream in the torso dtype (bf16) halves the HBM bytes of
+    every quantization pass relative to an f32 interface.
+    """
+    return _int8_conv_fwd(x, w, pad)[0]
+
+
+def _int8_conv_fwd(x, w, pad):
+    wq, wscale = _quantize_weight(w, reduce_axes=(0, 1, 2))  # (1,1,1,O)
+    xq, ascale = _quantize_act(x)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32) * (ascale * wscale)).astype(x.dtype)
+    # residuals: only the quantized kernel + its scale (dx needs no x)
+    # dtype carried as a zero-size array (dtype objects are not JAX types)
+    return out, (wq, wscale, w.shape, jnp.zeros((0,), x.dtype))
+
+
+def _int8_conv_bwd(pad, res, g):
+    wq, wscale, w_shape, x_dtype_probe = res
+    x_dtype = x_dtype_probe.dtype
+    # fold the per-output-channel scale into the cotangent, then quantize:
+    # dx[nhwi] = sum_o g[o] * (wq[o] * s_o) = conv(g * s_o, wq^T) exactly.
+    g_scaled = g * wscale.reshape(1, 1, 1, -1).astype(g.dtype)
+    gq, gscale = _quantize_act(g_scaled)
+    wqT = jnp.transpose(wq[::-1, ::-1], (0, 1, 3, 2))  # flip + I<->O swap
+    kh = w_shape[0]
+    padT = kh - 1 - pad  # adjoint padding; == pad for odd k with pad=k//2
+    acc = jax.lax.conv_general_dilated(
+        gq, wqT, (1, 1), [(padT, padT), (padT, padT)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    dx = (acc.astype(jnp.float32) * gscale).astype(x_dtype)
+    # weight cotangent unused by guidance (vjp w.r.t. x only)
+    dw = jnp.zeros(w_shape, jnp.float32)
+    return dx, dw
+
+
+int8_conv.defvjp(_int8_conv_fwd, _int8_conv_bwd)
+
+
+@jax.custom_vjp
+def int8_dense(x, w):
+    """Dense (..., I) @ (I, O), int8 MXU forward + int8 pullback.
+    Returns x.dtype (see int8_conv on the bf16 interface)."""
+    return _int8_dense_fwd(x, w)[0]
+
+
+def _int8_dense_fwd(x, w):
+    wq, wscale = _quantize_weight(w, reduce_axes=(0,))  # (1, O)
+    xq, ascale = _quantize_act(x)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32) * (ascale * wscale.reshape(
+        (1,) * (x.ndim - 1) + (-1,)))).astype(x.dtype)
+    # dtype carried as a zero-size array (dtype objects are not JAX types)
+    return out, (wq, wscale, w.shape, jnp.zeros((0,), x.dtype))
+
+
+def _int8_dense_bwd(res, g):
+    wq, wscale, w_shape, x_dtype_probe = res
+    x_dtype = x_dtype_probe.dtype
+    g_scaled = g * wscale.reshape((1,) * (g.ndim - 1) + (-1,)).astype(g.dtype)
+    gq, gscale = _quantize_act(g_scaled)
+    acc = jax.lax.dot_general(
+        gq, jnp.transpose(wq), (((g.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    dx = (acc.astype(jnp.float32) * gscale).astype(x_dtype)
+    dw = jnp.zeros(w_shape, jnp.float32)
+    return dx, dw
+
+
+int8_dense.defvjp(_int8_dense_fwd, _int8_dense_bwd)
+
+
+class QuantConv(nn.Module):
+    """Drop-in replacement for the torso ``nn.Conv``: same param names
+    ('kernel' HWIO, 'bias') and f32 master weights, int8 compute path.
+
+    Stride-1 only — the flagship topology (``resblock_updown=True``)
+    downsamples via avg-pool + stride-1 convs, so every torso conv
+    qualifies; the constructor asserts rather than silently degrading.
+    """
+    features: int
+    kernel_size: int = 3
+    zero_init: bool = False
+    dtype: jnp.dtype = jnp.bfloat16  # output cast (torso compute dtype)
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        init = (nn.initializers.zeros_init() if self.zero_init
+                else nn.initializers.lecun_normal())
+        kernel = self.param("kernel", init, (k, k, x.shape[-1], self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        out = int8_conv(x.astype(self.dtype), kernel, k // 2)
+        # bias in the compute dtype, like flax nn.Conv(dtype=bf16) does —
+        # an f32 bias would promote the whole activation back to f32
+        return out + bias.astype(self.dtype).reshape(1, 1, 1, -1)
+
+
+class QuantDense(nn.Module):
+    """Drop-in replacement for attention qkv/proj ``nn.Dense``."""
+    features: int
+    zero_init: bool = False
+    dtype: jnp.dtype = jnp.bfloat16  # output cast (torso compute dtype)
+
+    @nn.compact
+    def __call__(self, x):
+        init = (nn.initializers.zeros_init() if self.zero_init
+                else nn.initializers.lecun_normal())
+        kernel = self.param("kernel", init, (x.shape[-1], self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        out = int8_dense(x.astype(self.dtype), kernel)
+        return out + bias.astype(self.dtype).reshape(
+            (1,) * (out.ndim - 1) + (-1,))
