@@ -39,7 +39,8 @@ from tests._reference_oracle import install_reference_stubs  # noqa: E402
 
 def run_ab(res=64, channels=32, num_res_blocks=1, steps=30, seed=0,
            basis=None, rtol_floor=1e-6, verbose=True,
-           operator="gaussian_blur"):
+           operator="gaussian_blur", guidance_gradient="vjp",
+           checkpoint=None, setup=None, max_rtol=1.0):
     """Run the A/B; returns a dict of agreement metrics.
 
     operator: any of the four paper operators — 'gaussian_blur' (61x61
@@ -55,13 +56,16 @@ def run_ab(res=64, channels=32, num_res_blocks=1, steps=30, seed=0,
     os.chdir("/root/reference")  # the reference loads relative asset paths
     try:
         return _run_ab_inner(res, channels, num_res_blocks, steps, seed,
-                             basis, rtol_floor, verbose, torch, operator)
+                             basis, rtol_floor, verbose, torch, operator,
+                             guidance_gradient, checkpoint, setup, max_rtol)
     finally:
         os.chdir(cwd)
 
 
 def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
-                  rtol_floor, verbose, torch, operator="gaussian_blur"):
+                  rtol_floor, verbose, torch, operator="gaussian_blur",
+                  guidance_gradient="vjp", checkpoint=None, setup=None,
+                  max_rtol=1.0):
     import conditioning_utils.online_update_bfgs as oub
     if not hasattr(oub, "CovarianceHessianBFGSDCTPCA"):
         oub.CovarianceHessianBFGSDCTPCA = oub.CovarianceHessianBFGSDCT
@@ -96,33 +100,70 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
     from training.openai_preconditioning import iDDPMLinearPrecond as TorchPrecond
     from training.openai_unet import UNetModel as TorchUNet
 
-    if basis is None:
-        # the shipped DCT prior is (3, 256, 256); other sizes use the
-        # uninformative prior
-        basis = "dct_diagonal" if res == 256 else "dct_diagonal_noinfo"
+    if checkpoint:
+        # REAL-WEIGHTS mode (scripts/certify_real_weights.sh): both sides
+        # load the actual released checkpoint through their own production
+        # paths — the reference via training/openai_loading_utils.load_model,
+        # ours via models/loading.load_model (convert + npz cache). fp16 is
+        # forced off in a temp setup copy so both forwards run f32 on CPU
+        # (the released state dict is f32 master weights either way).
+        import tempfile
 
-    # full 256px reference architecture shape: 6 levels, attention at
-    # image resolutions 32/16/8 => downsample factors res//32, res//16, res//8
-    channel_mult = (1, 1, 2, 2, 4, 4)
-    attn_ds = tuple(res // r for r in (32, 16, 8) if res // r >= 1)
-    nhc = max(channels // 2, 8)  # num_head_channels dividing every attn width
-    kwargs = dict(image_size=res, in_channels=3, model_channels=channels,
-                  out_channels=6, num_res_blocks=num_res_blocks,
-                  attention_resolutions=attn_ds, channel_mult=channel_mult,
-                  num_head_channels=nhc, use_scale_shift_norm=True,
-                  resblock_updown=True)
+        from free_hunch_tpu.models.loading import load_model as j_load_model
+        from training.openai_loading_utils import load_model as ref_load_model
 
-    torch.manual_seed(seed)
-    tnet = TorchUNet(**kwargs)
-    from free_hunch_tpu.models.convert import randomize_zero_tensors
-    tnet.load_state_dict(randomize_zero_tensors(tnet.state_dict(), seed=seed))
-    tnet.eval()
-    tpre = TorchPrecond(tnet, img_resolution=res, img_channels=3, label_dim=0)
+        with open(setup) as f:
+            setup_text = f.read().replace("--use_fp16 True",
+                                          "--use_fp16 False")
+        td = tempfile.mkdtemp(prefix="ab_real_")
+        setup_f32 = os.path.join(td, "setup.txt")
+        with open(setup_f32, "w") as f:
+            f.write(setup_text)
+        tnet, _ = ref_load_model(checkpoint, setup_f32)
+        tnet.eval()
+        jnet, params, margs = j_load_model(checkpoint, setup_f32,
+                                           dtype=jnp.float32, remat=False)
+        res = int(margs.get("image_size", 256))
+        channels = int(margs.get("num_channels", 256))
+        num_res_blocks = int(margs.get("num_res_blocks", 2))
+        channel_mult = tuple(jnet.cfg.channel_mult)
+        attn_ds = tuple(jnet.cfg.attention_resolutions)
+        tpre = TorchPrecond(tnet, img_resolution=res, img_channels=3,
+                            label_dim=0)
+        jpre = IDDPMLinearPrecond(jnet, img_resolution=res, img_channels=3)
+        if basis is None:
+            basis = "dct_diagonal" if res == 256 else "dct_diagonal_noinfo"
+    else:
+        if basis is None:
+            # the shipped DCT prior is (3, 256, 256); other sizes use the
+            # uninformative prior
+            basis = "dct_diagonal" if res == 256 else "dct_diagonal_noinfo"
 
-    cfg = UNetConfig(dtype=jnp.float32, remat=False, **kwargs)
-    jnet = UNetModel(cfg)
-    params = convert_state_dict(tnet.state_dict(), cfg)
-    jpre = IDDPMLinearPrecond(jnet, img_resolution=res, img_channels=3)
+        # full 256px reference architecture shape: 6 levels, attention at
+        # image resolutions 32/16/8 => downsample factors res//32, res//16,
+        # res//8
+        channel_mult = (1, 1, 2, 2, 4, 4)
+        attn_ds = tuple(res // r for r in (32, 16, 8) if res // r >= 1)
+        nhc = max(channels // 2, 8)  # num_head_channels dividing every width
+        kwargs = dict(image_size=res, in_channels=3, model_channels=channels,
+                      out_channels=6, num_res_blocks=num_res_blocks,
+                      attention_resolutions=attn_ds, channel_mult=channel_mult,
+                      num_head_channels=nhc, use_scale_shift_norm=True,
+                      resblock_updown=True)
+
+        torch.manual_seed(seed)
+        tnet = TorchUNet(**kwargs)
+        from free_hunch_tpu.models.convert import randomize_zero_tensors
+        tnet.load_state_dict(randomize_zero_tensors(tnet.state_dict(),
+                                                    seed=seed))
+        tnet.eval()
+        tpre = TorchPrecond(tnet, img_resolution=res, img_channels=3,
+                            label_dim=0)
+
+        cfg = UNetConfig(dtype=jnp.float32, remat=False, **kwargs)
+        jnet = UNetModel(cfg)
+        params = convert_state_dict(tnet.state_dict(), cfg)
+        jpre = IDDPMLinearPrecond(jnet, img_resolution=res, img_channels=3)
 
     rng = np.random.default_rng(seed + 1)
     noise = rng.standard_normal((1, 3, res, res)).astype(np.float32)
@@ -164,10 +205,16 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
         clip_x0_mean=False, pigdm_posthoc_scaling=False,
         max_vector_count=100000, dataset_path="data/imagenet/",
         image_base_covariance=basis, pca_component_count=10,
-        denoiser_mean_error_threshold=1e9,  # fallback off: pure vjp guidance
+        # guidance gradient selection on the reference side: the threshold
+        # routes between the vjp pullback (std <= thresh: 1e9 disables the
+        # fallback) and the covariance product Sigma_0 mat / sigma^2 — the
+        # reference's own alternative at conditioning_mechanisms.py:283-285;
+        # a negative threshold forces it on every call
+        denoiser_mean_error_threshold=(
+            1e9 if guidance_gradient == "vjp" else -1.0),
         use_analytical_score_time_update=True, project_to_diagonal=False,
         space_step_update_threshold=10.0,
-        space_step_update_lower_threshold=1.0, max_rtol=1.0,
+        space_step_update_lower_threshold=1.0, max_rtol=max_rtol,
         do_space_updates=True, use_analytic_var_at_end=False,
         solver_type="customcuda", use_rtol_func=False, diffpir_lambda=10.0)
 
@@ -210,7 +257,8 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
         space_step_update_threshold=10.0,
         space_step_update_lower_threshold=1.0, do_space_updates=True,
         use_analytic_var_at_end=False, solver_type="customcuda",
-        max_rtol=1.0, use_rtol_func=False,
+        max_rtol=max_rtol, use_rtol_func=False,
+        guidance_gradient=guidance_gradient,
         # bit-level CG parity: no preconditioner (the reference has none)
         cg_precondition=False)
 
@@ -258,7 +306,9 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
                                 }.get(operator, "gaussian_blur 61x61 std3.0"),
                       sigma_s=0.0,
                       mechanism="online_covariance (Free Hunch)",
-                      rtol_floor=rtol_floor, seed=seed,
+                      guidance_gradient=guidance_gradient,
+                      real_checkpoint=checkpoint or False,
+                      rtol_floor=rtol_floor, max_rtol=max_rtol, seed=seed,
                       channel_mult=list(channel_mult),
                       attention_ds=list(attn_ds),
                       data_dim=3 * res * res,
@@ -289,7 +339,8 @@ def run_ab_teacher_forced(res=64, channels=32, num_res_blocks=1, steps=30,
                           seed=0, basis=None, rtol_floor=1e-6, verbose=True,
                           max_rtol=1.0, operator="inpainting",
                           precision="f32", share_net=False, data_dir=None,
-                          sigma_s=0.05, transport="telescoped"):
+                          sigma_s=0.05, transport="telescoped",
+                          guidance_gradient="vjp"):
     """Per-call parity over the FULL schedule: both mechanisms receive the
     SAME (x_hat, sigma) inputs at every ODE stage (our trajectory drives
     both), so each of the 2*steps-1 guidance evaluations is compared without
@@ -319,7 +370,7 @@ def run_ab_teacher_forced(res=64, channels=32, num_res_blocks=1, steps=30,
         return _run_teacher_inner(res, channels, num_res_blocks, steps, seed,
                                   basis, rtol_floor, verbose, torch, max_rtol,
                                   operator, precision, share_net, data_dir,
-                                  sigma_s, transport)
+                                  sigma_s, transport, guidance_gradient)
     finally:
         os.chdir(cwd)
 
@@ -328,7 +379,7 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
                        rtol_floor, verbose, torch, max_rtol=1.0,
                        operator="inpainting", precision="f32",
                        share_net=False, data_dir=None, sigma_s=0.05,
-                       transport="telescoped"):
+                       transport="telescoped", guidance_gradient="vjp"):
     import conditioning_utils.online_update_bfgs as oub
     if not hasattr(oub, "CovarianceHessianBFGSDCTPCA"):
         oub.CovarianceHessianBFGSDCTPCA = oub.CovarianceHessianBFGSDCT
@@ -457,12 +508,16 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
                   space_step_update_lower_threshold=1.0,
                   do_space_updates=True, use_analytic_var_at_end=False,
                   max_rtol=max_rtol, use_rtol_func=False)
+    # reference-side guidance-gradient selection (see _run_ab_inner): a
+    # negative threshold forces the covariance product branch every call
+    ref_common = dict(common, denoiser_mean_error_threshold=(
+        1e9 if guidance_gradient == "vjp" else -1.0))
     ref = ref_mech.BFGSOnlineUpdate(
         1.0, t_op, False, init_denoiser_variance=1,
         init_noise_variance=torch.tensor(sigma0**2), data_dim=3 * res * res,
         pigdm_posthoc_scaling=False, image_base_covariance=basis,
         data_dir=data_dir or "data/imagenet/", pca_component_count=10,
-        solver_type="customcuda", diffpir_lambda=10, **common)
+        solver_type="customcuda", diffpir_lambda=10, **ref_common)
     fixed_iters_env = int(os.environ.get("AB_CG_FIXED_ITERS", "0"))
     mine_common = dict(common)
     if fixed_iters_env:
@@ -474,6 +529,7 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
                      data_dir=data_dir or "/root/reference/data/imagenet/",
                      init_noise_variance=sigma0**2, cov_capacity=4 * steps,
                      solver_type="customcuda", cg_precondition=False,
+                     guidance_gradient=guidance_gradient,
                      # bit-level A/B: the reference appends BFGS pairs
                      # unconditionally (no curvature guard)
                      bfgs_curvature_guard=False,
@@ -837,6 +893,14 @@ def main():
                          "evaluation (its conditioning costs ~5 digits with "
                          "the real dct prior), removing the formula term "
                          "from the A/B")
+    ap.add_argument("--guidance_gradient", choices=["vjp", "covariance"],
+                    default="vjp",
+                    help="guidance gradient on BOTH sides: vjp (the "
+                         "reference default pullback) or covariance (the "
+                         "reference's own alternative at "
+                         "conditioning_mechanisms.py:283-285, forced there "
+                         "via a negative denoiser_mean_error_threshold; our "
+                         "54.7 samples/min fast mode)")
     ap.add_argument("--rtol_floor", type=float, default=1e-6)
     ap.add_argument("--max_rtol", type=float, default=1.0,
                     help="cap on BOTH sides' CG rtol schedule (teacher mode)."
@@ -849,9 +913,19 @@ def main():
                          " Larger values lower the guidance-system condition"
                          " number so a tight rtol is reachable within the"
                          " CG budget")
+    ap.add_argument("--checkpoint", default=None,
+                    help="REAL released .pt checkpoint: both sides load it "
+                         "through their production paths and the free-running "
+                         "A/B runs at the checkpoint's native resolution "
+                         "(scripts/certify_real_weights.sh; use --steps 3 "
+                         "for a CPU-affordable smoke)")
+    ap.add_argument("--setup", default=None,
+                    help="setup .txt paired with --checkpoint")
     ap.add_argument("--out", default=None,
                     help="output json path (default docs/ab_reference_<res>.json)")
     args = ap.parse_args()
+    if args.checkpoint and not args.setup:
+        ap.error("--checkpoint requires --setup")
 
     out = {}
     if args.mode in ("teacher", "both"):
@@ -863,12 +937,15 @@ def main():
             seed=args.seed, basis=args.basis, operator=teacher_op,
             precision=args.precision, share_net=args.share_net,
             rtol_floor=args.rtol_floor, transport=args.transport,
-            max_rtol=args.max_rtol, sigma_s=args.sigma_s)
+            max_rtol=args.max_rtol, sigma_s=args.sigma_s,
+            guidance_gradient=args.guidance_gradient)
     if args.mode in ("free", "both"):
         out["free_running"] = run_ab(
             res=args.res, channels=args.channels,
             num_res_blocks=args.num_res_blocks, steps=args.steps,
-            seed=args.seed, basis=args.basis, operator=args.operator)
+            seed=args.seed, basis=args.basis, operator=args.operator,
+            guidance_gradient=args.guidance_gradient,
+            max_rtol=args.max_rtol)
     path = args.out or os.path.join(REPO, "docs", f"ab_reference_{args.res}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
