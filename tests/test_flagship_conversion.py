@@ -13,8 +13,12 @@ import pytest
 pytest.importorskip("torch")
 
 
-@pytest.mark.skipif(os.environ.get("RUN_FLAGSHIP_AB") != "1",
-                    reason="flagship-layout A/B is slow; set RUN_FLAGSHIP_AB=1")
+@pytest.mark.skipif(
+    os.environ.get("RUN_FLAGSHIP_AB") != "1"
+    and not os.path.exists("models/256x256_diffusion_uncond.pt"),
+    reason="flagship-layout A/B is slow; runs automatically once the real "
+           "checkpoint exists (scripts/certify_real_weights.sh), or set "
+           "RUN_FLAGSHIP_AB=1")
 @pytest.mark.parametrize("setup,min_params", [
     ("models/256x256_diffusion_uncond_setup.txt", 5.4e8),  # 552M ImageNet
     ("models/ffhq_10m_setup.txt", 5e7),                    # FFHQ family
