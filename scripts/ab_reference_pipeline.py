@@ -40,7 +40,7 @@ from tests._reference_oracle import install_reference_stubs  # noqa: E402
 def run_ab(res=64, channels=32, num_res_blocks=1, steps=30, seed=0,
            basis=None, rtol_floor=1e-6, verbose=True,
            operator="gaussian_blur", guidance_gradient="vjp",
-           checkpoint=None, setup=None, max_rtol=1.0):
+           checkpoint=None, setup=None, max_rtol=1.0, strict_cg=False):
     """Run the A/B; returns a dict of agreement metrics.
 
     operator: any of the four paper operators — 'gaussian_blur' (61x61
@@ -57,7 +57,8 @@ def run_ab(res=64, channels=32, num_res_blocks=1, steps=30, seed=0,
     try:
         return _run_ab_inner(res, channels, num_res_blocks, steps, seed,
                              basis, rtol_floor, verbose, torch, operator,
-                             guidance_gradient, checkpoint, setup, max_rtol)
+                             guidance_gradient, checkpoint, setup, max_rtol,
+                             strict_cg)
     finally:
         os.chdir(cwd)
 
@@ -65,7 +66,7 @@ def run_ab(res=64, channels=32, num_res_blocks=1, steps=30, seed=0,
 def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
                   rtol_floor, verbose, torch, operator="gaussian_blur",
                   guidance_gradient="vjp", checkpoint=None, setup=None,
-                  max_rtol=1.0):
+                  max_rtol=1.0, strict_cg=False):
     import conditioning_utils.online_update_bfgs as oub
     if not hasattr(oub, "CovarianceHessianBFGSDCTPCA"):
         oub.CovarianceHessianBFGSDCTPCA = oub.CovarianceHessianBFGSDCT
@@ -260,7 +261,14 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
         max_rtol=max_rtol, use_rtol_func=False,
         guidance_gradient=guidance_gradient,
         # bit-level CG parity: no preconditioner (the reference has none)
-        cg_precondition=False)
+        cg_precondition=False,
+        # strict_cg control: match the reference's solver exactly — no stall
+        # truncation, last-iterate return (the production stall detector
+        # freezes at the best iterate on residual plateaus, which
+        # under-solves near-singular systems the covariance gradient then
+        # consumes directly)
+        **(dict(cg_stall_iters=10**6, cg_track_best=False)
+           if strict_cg else {}))
 
     t0 = time.time()
     x, _, y = conditional_sampler(
@@ -308,7 +316,8 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
                       mechanism="online_covariance (Free Hunch)",
                       guidance_gradient=guidance_gradient,
                       real_checkpoint=checkpoint or False,
-                      rtol_floor=rtol_floor, max_rtol=max_rtol, seed=seed,
+                      rtol_floor=rtol_floor, max_rtol=max_rtol,
+                      strict_cg=strict_cg, seed=seed,
                       channel_mult=list(channel_mult),
                       attention_ds=list(attn_ds),
                       data_dim=3 * res * res,
@@ -901,6 +910,10 @@ def main():
                          "conditioning_mechanisms.py:283-285, forced there "
                          "via a negative denoiser_mean_error_threshold; our "
                          "54.7 samples/min fast mode)")
+    ap.add_argument("--strict_cg", action="store_true",
+                    help="free mode: disable stall truncation + best-iterate "
+                         "return so both CG solvers run the reference's "
+                         "exact stopping rule (control experiment)")
     ap.add_argument("--rtol_floor", type=float, default=1e-6)
     ap.add_argument("--max_rtol", type=float, default=1.0,
                     help="cap on BOTH sides' CG rtol schedule (teacher mode)."
@@ -945,7 +958,7 @@ def main():
             num_res_blocks=args.num_res_blocks, steps=args.steps,
             seed=args.seed, basis=args.basis, operator=args.operator,
             guidance_gradient=args.guidance_gradient,
-            max_rtol=args.max_rtol)
+            max_rtol=args.max_rtol, strict_cg=args.strict_cg)
     path = args.out or os.path.join(REPO, "docs", f"ab_reference_{args.res}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
