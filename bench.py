@@ -60,9 +60,11 @@ def main():
     # The algorithm is unchanged (the headline stays the exact vjp-gradient
     # pipeline); reduced-precision torso arithmetic mirrors the reference's
     # own default posture (its released setup ships use_fp16=True). Error
-    # budget at 256px: per-call x0_mean rel err ~0.2%, x0_var ~3%, pullback
-    # ~5-7% (docs/bench/int8_quality_ab.json; gates in tests/test_quant.py).
-    # BENCH_QUANT=none restores the bf16 torso (25.7 samples/min).
+    # budget at 256px (docs/bench/int8_quality_ab.json; gates in
+    # tests/test_quant.py): per-call x0_mean rel err median 0.4% / max 1.1%,
+    # x0_var 3%/9%, pullback 10%/51% (largest where the gradient is
+    # near-zero) — and the full guided run's PSNR differs from bf16 by
+    # 0.004 dB. BENCH_QUANT=none restores the bf16 torso (25.7 samples/min).
     quant = os.environ.get("BENCH_QUANT", "int8")
     quant = None if quant in ("", "none") else quant
     model, params, model_args = load_model(
