@@ -16,6 +16,8 @@ import pytest
 
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "_mp_worker.py")
+_EVAL_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "_mp_eval_worker.py")
 
 
 def _free_port() -> int:
@@ -79,3 +81,118 @@ def test_two_process_distributed_cpu(tmp_path):
         assert ss["shared_mean"] == pytest.approx(1.5)
         assert ss["head_num"] == 1
         assert ss["head_mean"] == pytest.approx(7.0)
+
+
+# --------------------------------------------------------------------------
+# fault injection: kill -9 one rank mid-run, restart with --resume
+# (VERDICT r3 item 7; reference anchor: torch_utils/distributed.py:59-70 —
+# upstream has NO recovery, a crash loses the run)
+# --------------------------------------------------------------------------
+
+_SETUP32 = ("--channel_mult 1,2 "
+            "--attention_resolutions 8 --class_cond False "
+            "--diffusion_steps 1000 --dropout 0.0 --image_size 32 "
+            "--learn_sigma True --noise_schedule linear --num_channels 32 "
+            "--num_head_channels 16 --num_res_blocks 1 "
+            "--resblock_updown True --use_fp16 False "
+            "--use_scale_shift_norm True --use_new_attention_order False")
+
+
+def _eval_opts(models_dir, setup_path, outdir, **over):
+    opts = dict(
+        outdir=outdir,
+        openai_state_dict_path=os.path.join(models_dir, "missing.pt"),
+        openai_setup_path=setup_path, allow_random_init=True,
+        dataset_path="/root/reference/data/imagenet/00000",
+        total_images=8, batch_size=2, num_steps=2,
+        conditioning_mechanism="dps", operator_name="inpainting",
+        noise_sigma=0.05, seeds=[0], dtype="float32",
+        cg_maxiter=20, save_images=True)
+    opts.update(over)
+    return opts
+
+
+def _spawn_eval(pid, port, outdir, opts):
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    return subprocess.Popen(
+        [sys.executable, _EVAL_WORKER, str(pid), "2", str(port), outdir,
+         json.dumps(opts)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+
+def _read_journals(outdir):
+    out = {}
+    for rank in range(2):
+        path = os.path.join(outdir, f"metrics_rank{rank:02d}.jsonl")
+        with open(path) as f:
+            out[rank] = [json.loads(line) for line in f if line.strip()]
+    return out
+
+
+def test_two_process_kill9_resume(tmp_path):
+    """A 2-process driver run loses rank 1 to SIGKILL mid-run; restarting
+    both ranks with --resume replays the journaled batches and recomputes
+    the rest, reproducing the uninterrupted run's per-batch journal records
+    EXACTLY and its final reduced metrics."""
+    models = tmp_path / "models"
+    models.mkdir()
+    setup = models / "setup32.txt"
+    setup.write_text(_SETUP32)
+
+    # --- ground truth: uninterrupted 2-process run -------------------------
+    out_a = str(tmp_path / "outA")
+    port = _free_port()
+    procs = [_spawn_eval(p, port, out_a,
+                         _eval_opts(str(models), str(setup), out_a))
+             for p in range(2)]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"ground-truth worker failed:\n{out[-3000:]}"
+    journals_a = _read_journals(out_a)
+    assert [len(journals_a[r]) for r in (0, 1)] == [2, 2]
+    result_a = json.load(open(os.path.join(out_a, "worker_result_0.json")))
+
+    # --- fault run: rank 1 SIGKILLs itself after 1 computed batch ----------
+    out_b = str(tmp_path / "outB")
+    port = _free_port()
+    p0 = _spawn_eval(0, port, out_b, _eval_opts(str(models), str(setup), out_b))
+    p1 = _spawn_eval(1, port, out_b,
+                     _eval_opts(str(models), str(setup), out_b,
+                                fault_kill_after_batches=1))
+    p1_out, _ = p1.communicate(timeout=540)
+    assert p1.returncode == -9, \
+        f"rank 1 should die by SIGKILL, got {p1.returncode}:\n{p1_out[-2000:]}"
+    # rank 0 is now partnered with a corpse: it either errors out of the
+    # final cross-process reduction or blocks — bound it and reap by PID
+    try:
+        p0.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        p0.kill()
+        p0.communicate()
+    journals_mid = _read_journals(out_b)
+    assert len(journals_mid[1]) == 1, "rank 1 should journal exactly 1 batch"
+    # the surviving record must already equal the uninterrupted run's
+    assert journals_mid[1][0] == journals_a[1][0]
+
+    # --- recovery: restart BOTH ranks with --resume in the same outdir -----
+    port = _free_port()
+    procs = [_spawn_eval(p, port, out_b,
+                         _eval_opts(str(models), str(setup), out_b,
+                                    resume=True))
+             for p in range(2)]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"resume worker failed:\n{out[-3000:]}"
+
+    # journal replay reproduces the uninterrupted journals byte-for-byte
+    # (same batch ids, same float metrics, same order)
+    journals_b = _read_journals(out_b)
+    assert journals_b == journals_a
+
+    # final reduced metrics equal the uninterrupted run's exactly (replayed
+    # records carry the identical floats through the same reduction order)
+    result_b = json.load(open(os.path.join(out_b, "worker_result_0.json")))
+    for key in ("psnr", "ssim", "lpips", "images"):
+        assert result_b[key] == result_a[key], (key, result_a, result_b)
+    # rank 0 replayed its 2 journaled batches; rank 1 replayed its 1
+    assert result_b["resumed_batches"] == 3
