@@ -179,6 +179,12 @@ class QuantConv(nn.Module):
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
+        # NOTE two hardware-A/B'd non-wins, so the next reader doesn't
+        # re-try them: a strided-subsample abs-max (126 -> 142 ms/fwd) and
+        # an optimization_barrier forcing one bf16 materialisation of the
+        # GroupNorm producer (126 -> 151 ms/fwd) — XLA's own fusion split
+        # beats both; the remaining quantization overhead needs the fused
+        # GN+quantize Pallas kernel (BASELINE.md).
         out = int8_conv(x.astype(self.dtype), kernel, k // 2)
         # bias in the compute dtype, like flax nn.Conv(dtype=bf16) does —
         # an f32 bias would promote the whole activation back to f32
