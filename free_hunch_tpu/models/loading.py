@@ -198,7 +198,10 @@ def randomize_zero_leaves(params: dict, scale: float = 0.1, seed: int = 0) -> di
             fan_in = int(np.prod(leaf.shape[:-1])) if leaf.ndim > 1 else leaf.shape[0]
             noise = jax.random.normal(jax.random.fold_in(key, i), leaf.shape,
                                       leaf.dtype)
-            out.append(noise * (scale / np.sqrt(max(fan_in, 1))))
+            # keep the leaf dtype: the np f64 scalar would otherwise promote
+            # f32 leaves to f64 under jax_enable_x64
+            out.append((noise * (scale / np.sqrt(max(fan_in, 1))))
+                       .astype(leaf.dtype))
         else:
             out.append(leaf)
     return jax.tree.unflatten(treedef, out)

@@ -152,6 +152,37 @@ class Downsample(nn.Module):
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
+class _GNParams(nn.Module):
+    """Parameter holder matching GroupNorm32's tree ('scale', 'bias') for
+    the fused GN+quantize+conv path — keeps checkpoints layout-identical."""
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones_init(),
+                           (self.channels,), jnp.float32),
+                self.param("bias", nn.initializers.zeros_init(),
+                           (self.channels,), jnp.float32))
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's tree ('kernel' HWIO, 'bias')."""
+    kernel_size: int
+    cin: int
+    cout: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        init = (nn.initializers.zeros_init() if self.zero_init
+                else nn.initializers.lecun_normal())
+        return (self.param("kernel", init, (k, k, self.cin, self.cout),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros_init(),
+                           (self.cout,), jnp.float32))
+
+
 class ResBlock(nn.Module):
     """Residual block with FiLM (scale-shift) time conditioning and optional
     built-in up/down sampling (reference ResBlock:143)."""
@@ -166,30 +197,84 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb):
         c_in = x.shape[-1]
-        h = GroupNorm32(c_in, apply_silu=True, name="in_norm")(x)
-        if self.up:
-            h = Upsample(c_in, use_conv=False, dtype=self.dtype)(h)
-            x = Upsample(c_in, use_conv=False, dtype=self.dtype)(x)
-        elif self.down:
-            h = Downsample(c_in, use_conv=False, dtype=self.dtype)(h)
-            x = Downsample(c_in, use_conv=False, dtype=self.dtype)(x)
-        h = _conv(self.out_channels, dtype=self.dtype, name="in_conv",
-                  quant=self.quant)(h)
+        n = x.shape[0]
+        # OPT-IN (FREE_HUNCH_FUSED_GN_QUANT=1): fuse the GN(+FiLM)+SiLU+
+        # quantize chain into the Pallas three-pass kernel feeding the int8
+        # conv directly (ops/quant.py gn_quant_conv); param trees stay
+        # identical via the holder modules. Off by default: measured on v5e
+        # the fused path LOSES end-to-end (fwd device time 126 -> 165
+        # ms/iter — the three pallas_calls cost more than the XLA
+        # elementwise they replace AND the kernel's s8 output layout slows
+        # the consuming convs 56 -> 70 ms), the same pattern as the
+        # standalone Pallas GroupNorm (pallas_groupnorm.py docstring).
+        # Kept as the validated fused implementation for hardware where the
+        # tradeoff flips. Resampling blocks always use the unfused path
+        # (the resize sits between norm and conv).
+        import os as _os
+        fuse = (self.quant == "int8" and not (self.up or self.down)
+                and c_in % 32 == 0 and self.out_channels % 32 == 0
+                and _os.environ.get("FREE_HUNCH_FUSED_GN_QUANT") == "1")
+        if fuse:
+            from free_hunch_tpu.ops.quant import gn_quant_conv
+            g_in, b_in = _GNParams(c_in, name="in_norm")()
+            k_in, kb_in = _ConvParams(3, c_in, self.out_channels,
+                                      name="in_conv")()
+            h = gn_quant_conv(x.astype(self.dtype),
+                              jnp.broadcast_to(g_in[None], (n, c_in)),
+                              jnp.broadcast_to(b_in[None], (n, c_in)),
+                              k_in, 1, 32, 1e-5)
+            h = h + kb_in.astype(self.dtype).reshape(1, 1, 1, -1)
+        else:
+            h = GroupNorm32(c_in, apply_silu=True, name="in_norm")(x)
+            if self.up:
+                h = Upsample(c_in, use_conv=False, dtype=self.dtype)(h)
+                x = Upsample(c_in, use_conv=False, dtype=self.dtype)(x)
+            elif self.down:
+                h = Downsample(c_in, use_conv=False, dtype=self.dtype)(h)
+                x = Downsample(c_in, use_conv=False, dtype=self.dtype)(x)
+            h = _conv(self.out_channels, dtype=self.dtype, name="in_conv",
+                      quant=self.quant)(h)
 
         emb_out = nn.Dense(2 * self.out_channels if self.use_scale_shift_norm
                            else self.out_channels,
                            dtype=self.dtype, param_dtype=jnp.float32,
                            name="emb_proj")(nn.silu(emb))
         emb_out = emb_out[:, None, None, :].astype(h.dtype)
-        if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(self.out_channels, name="out_norm")(h) * (1 + scale) + shift
-            h = nn.silu(h)
+        if fuse:
+            from free_hunch_tpu.ops.quant import gn_quant_conv
+            g_out, b_out = _GNParams(self.out_channels, name="out_norm")()
+            k_out, kb_out = _ConvParams(3, self.out_channels,
+                                        self.out_channels, zero_init=True,
+                                        name="out_conv")()
+            if self.use_scale_shift_norm:
+                # FiLM folds into the per-sample affine:
+                # (norm*g + b)*(1+s) + sh = norm*(g*(1+s)) + (b*(1+s) + sh)
+                scale, shift = jnp.split(
+                    emb_out.reshape(n, -1).astype(jnp.float32), 2, axis=-1)
+                gamma_eff = g_out[None] * (1.0 + scale)
+                beta_eff = b_out[None] * (1.0 + scale) + shift
+                h_in = h
+            else:
+                gamma_eff = jnp.broadcast_to(g_out[None],
+                                             (n, self.out_channels))
+                beta_eff = jnp.broadcast_to(b_out[None],
+                                            (n, self.out_channels))
+                h_in = h + emb_out
+            h = gn_quant_conv(h_in.astype(self.dtype), gamma_eff, beta_eff,
+                              k_out, 1, 32, 1e-5)
+            h = h + kb_out.astype(self.dtype).reshape(1, 1, 1, -1)
         else:
-            h = h + emb_out
-            h = GroupNorm32(self.out_channels, apply_silu=True, name="out_norm")(h)
-        h = _conv(self.out_channels, dtype=self.dtype, name="out_conv",
-                  zero_init=True, quant=self.quant)(h)
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(emb_out, 2, axis=-1)
+                h = GroupNorm32(self.out_channels, name="out_norm")(h) \
+                    * (1 + scale) + shift
+                h = nn.silu(h)
+            else:
+                h = h + emb_out
+                h = GroupNorm32(self.out_channels, apply_silu=True,
+                                name="out_norm")(h)
+            h = _conv(self.out_channels, dtype=self.dtype, name="out_conv",
+                      zero_init=True, quant=self.quant)(h)
 
         if self.out_channels == c_in:
             skip = x

@@ -208,3 +208,80 @@ class QuantDense(nn.Module):
         out = int8_dense(x.astype(self.dtype), kernel)
         return out + bias.astype(self.dtype).reshape(
             (1,) * (out.ndim - 1) + (-1,))
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm(+FiLM affine)+SiLU+quantize -> int8 conv composite.
+# The biggest int8 overhead was XLA materialising the f32 GroupNorm chain
+# around the quantization (see the non-wins note above); the Pallas kernel
+# (ops/pallas_gn_quant.py) streams stats/amax/quantize in three passes and
+# hands the conv a ready s8 operand. The backward treats quantization as
+# straight-through and pulls the int8 transposed-conv cotangent through the
+# exact GN+affine+SiLU formulation via jax.vjp (recompute-from-x: less
+# residual memory than storing the normalised activation).
+# ---------------------------------------------------------------------------
+
+def _gn_silu_ref_f32(x, gamma_nc, beta_nc, groups, eps):
+    """Unquantized GN+per-sample-affine+SiLU in f32 (the differentiation
+    formulation of pallas_gn_quant.gn_silu_quant)."""
+    n, h, w, c = x.shape
+    cg = c // groups
+    xf = x.astype(jnp.float32)
+    mean_c = jnp.mean(xf, axis=(1, 2))
+    gmean = jnp.mean(mean_c.reshape(n, groups, cg), axis=-1)
+    gmean_c = jnp.repeat(gmean, cg, axis=-1)
+    centered = xf - gmean_c[:, None, None, :]
+    var_c = jnp.mean(jnp.square(centered), axis=(1, 2))
+    gvar = jnp.mean(var_c.reshape(n, groups, cg), axis=-1)
+    inv_c = jnp.repeat(jax.lax.rsqrt(gvar + eps), cg, axis=-1)
+    y = centered * inv_c[:, None, None, :]
+    y = y * gamma_nc[:, None, None, :] + beta_nc[:, None, None, :]
+    return y * jax.nn.sigmoid(y)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def gn_quant_conv(x, gamma_nc, beta_nc, w, pad, groups, eps):
+    """silu(groupnorm(x)*gamma_nc+beta_nc) -> int8 quantize -> int8 conv.
+
+    x: (n, h, w, cin) torso dtype; gamma_nc/beta_nc: (n, cin) f32 effective
+    affine (FiLM folded by the caller); w: (k, k, cin, cout) f32 master
+    weights. Returns x.dtype (n, h, w, cout), bias NOT included.
+    """
+    return _gn_quant_conv_fwd(x, gamma_nc, beta_nc, w, pad, groups, eps)[0]
+
+
+def _gn_quant_conv_fwd(x, gamma_nc, beta_nc, w, pad, groups, eps):
+    from free_hunch_tpu.ops.pallas_gn_quant import gn_silu_quant
+    wq, wscale = _quantize_weight(w, reduce_axes=(0, 1, 2))
+    xq, ascale = gn_silu_quant(x, gamma_nc, beta_nc, groups, eps)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32) * (ascale * wscale)).astype(x.dtype)
+    return out, (x, gamma_nc, beta_nc, wq, wscale, w.shape)
+
+
+def _gn_quant_conv_bwd(pad, groups, eps, res, g):
+    x, gamma_nc, beta_nc, wq, wscale, w_shape = res
+    # int8 transposed conv -> cotangent w.r.t. the normalised activation y
+    g_scaled = g * wscale.reshape(1, 1, 1, -1).astype(g.dtype)
+    gq, gscale = _quantize_act(g_scaled)
+    wqT = jnp.transpose(wq[::-1, ::-1], (0, 1, 3, 2))
+    kh = w_shape[0]
+    padT = kh - 1 - pad
+    acc = jax.lax.conv_general_dilated(
+        gq, wqT, (1, 1), [(padT, padT), (padT, padT)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    dy = acc.astype(jnp.float32) * gscale
+    # straight-through the quantization, exact through GN+affine+SiLU
+    _, gn_vjp = jax.vjp(
+        lambda xx, gg, bb: _gn_silu_ref_f32(xx, gg, bb, groups, eps),
+        x, gamma_nc, beta_nc)
+    dx, dgamma, dbeta = gn_vjp(dy)
+    dw = jnp.zeros(w_shape, jnp.float32)
+    return dx.astype(x.dtype), dgamma, dbeta, dw
+
+
+gn_quant_conv.defvjp(_gn_quant_conv_fwd, _gn_quant_conv_bwd)
