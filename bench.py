@@ -194,7 +194,8 @@ def main():
     print(json.dumps({
         "metric": "freehunch_guided_samples_per_min_per_chip",
         "value": round(samples_per_min, 3),
-        "unit": (f"samples/min (256x256, 30 Heun steps, online_covariance+CG"
+        "unit": (f"samples/min ({res}x{res}, {num_steps} Heun steps, "
+                 f"online_covariance+CG"
                  f", {os.environ.get('BENCH_GRAD', 'vjp')} gradient, "
                  f"{arith} torso)"),
         "vs_baseline": round(samples_per_min / target, 4),
