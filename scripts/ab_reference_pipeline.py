@@ -480,6 +480,22 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
         t_op.sigma_s = torch.tensor([sigma_s])
         t_op.in_shape = (1, 3, res, res)
         t_op.mask = torch.from_numpy(mask)
+    elif operator == "motion_blur":
+        # shipped 61x61 std0.5 motion PSF, identical file both sides — the
+        # ASYMMETRIC kernel exercises the A != A^T path of the tailored
+        # deblur solver that the gaussian teacher run cannot
+        j_op = get_operator(name="motion_blur", in_shape=(1, 3, res, res),
+                            sigma_s=0.0)
+        y = np.asarray(j_op.forward(jnp.asarray(cond), noiseless=True),
+                       np.float32)
+        y_t = torch.from_numpy(y)
+        from measurement_utils.measurements import get_operator as ref_get_op
+        t_op = ref_get_op(name="motion_blur", in_shape=(1, 3, res, res),
+                          kernel_size=61, intensity=0.5, sigma_s=0.0,
+                          device="cpu")
+        y_ref_chk = t_op.forward(torch.from_numpy(cond), noiseless=True)
+        assert float(np.abs(y_ref_chk.numpy() - y).max()) < 1e-4, \
+            "operator forward mismatch"
     else:
         kernel = np.load("/root/reference/measurement_utils/kernels/"
                          "gaussian_ks61_std3.0.npy")
@@ -885,8 +901,8 @@ def main():
                              "super_resolution", "motion_blur"],
                     help="teacher-forced mode operator (inpainting gives a "
                          "well-conditioned guidance system -> strict parity; "
-                         "gaussian_blur reports the loose-CG error profile; "
-                         "motion_blur falls back to gaussian_blur there); "
+                         "gaussian_blur/motion_blur report the loose-CG "
+                         "error profile of the near-singular systems); "
                          "free mode accepts all four paper operators")
     ap.add_argument("--precision", choices=["f32", "f64"], default="f32",
                     help="f64: our algebra+CG in float64 (jax_enable_x64), "
@@ -942,8 +958,7 @@ def main():
 
     out = {}
     if args.mode in ("teacher", "both"):
-        teacher_op = (args.operator if args.operator != "motion_blur"
-                      else "gaussian_blur")  # same FFT-blur solver family
+        teacher_op = args.operator
         out["teacher_forced"] = run_ab_teacher_forced(
             res=args.res, channels=args.channels,
             num_res_blocks=args.num_res_blocks, steps=args.steps,
