@@ -130,6 +130,7 @@ class Evaluator:
             remat = True
         quant = opts.get("quant", "none")
         quant = None if quant in (None, "none", "") else quant
+        self._quant = quant
         self.model, self.params, model_args = load_model(
             opts.get("openai_state_dict_path"), opts["openai_setup_path"],
             dtype=dtype, remat=remat,
@@ -137,8 +138,19 @@ class Evaluator:
             spatial_partition=(("data", "model") if self._model_parallel
                                else None),
             quant=quant)
-        self.precond = wrap_precond(self.model, model_args,
-                                    opts.get("iddpm_preconditioning", "linear"))
+        self._model_args = model_args
+        self._precond_kind = opts.get("iddpm_preconditioning", "linear")
+        if quant == "int8_static":
+            # static scales need the calibration table, built below once the
+            # schedule/operator/mechanism exist; until then a DYNAMIC-scale
+            # twin provides the (identical) sigma grid for scheduling
+            from free_hunch_tpu.models.unet import create_model
+            dyn = create_model(dtype=dtype, remat=remat, quant="int8",
+                               **model_args)
+            self.precond = wrap_precond(dyn, model_args, self._precond_kind)
+        else:
+            self.precond = wrap_precond(self.model, model_args,
+                                        self._precond_kind)
         self.res = model_args.get("image_size", 256)
         self.encoder = StandardRGBEncoder()
 
@@ -214,10 +226,53 @@ class Evaluator:
                        data_dir=opts.get("dataset_path"))
         self._mech_builder = lambda op: mech_cls(forward_operator=op, **mkw)
 
+        if self._quant == "int8_static":
+            self._calibrate_static_qscales()
         self._run_batch = jax.jit(self._batch_fn)
         self._install_codecs()
         self._lpips = lpips_fn("vgg")
         self._install_fid()
+
+    def _calibrate_static_qscales(self):
+        """quant='int8_static': build (or load) the per-(site, sigma-stage)
+        activation-scale table and install the static-mode preconditioner
+        (models/calibrate.py). Calibration replays the production sampler on
+        one synthetic batch; the table is cached next to the checkpoint keyed
+        by architecture + schedule + margin."""
+        from free_hunch_tpu.models import calibrate as cal
+        opts = self.opts
+        if self._mech_builder is None:
+            raise ValueError("quant='int8_static' is not supported for the "
+                             "ddnm driver; use quant='int8' there")
+        num_steps = int(np.asarray(self.xs["sigma_hat"]).shape[0])
+        margin = float(opts.get("qscale_margin", 1.0))
+        ckpt = opts.get("openai_state_dict_path") or "qscales"
+        cache = cal.qscales_cache_key(ckpt, self._model_args, num_steps,
+                                      self.res, margin)
+        qs = cal.load_qscales(cache)
+        if qs is None:
+            logger.info("calibrating int8_static activation scales "
+                        "(one dynamic-int8 sampler replay)...")
+            key = jax.random.fold_in(self.key, 3)
+            b = self.batch_size
+            shape = (b, 3, self.res, self.res)
+            cond = jax.random.uniform(jax.random.fold_in(key, 0), shape,
+                                      minval=-1, maxval=1)
+            op = self._template_op
+            y = jax.jit(lambda c, k: op.forward(c, noiseless=False, key=k))(
+                cond, jax.random.fold_in(key, 1))
+            noise = jax.random.normal(jax.random.fold_in(key, 2), shape)
+            qs = cal.calibrate_qscales(
+                self._model_args, self.params, self._mech_builder(op),
+                noise, y, self.xs, self.sigma0_scaled,
+                jax.random.fold_in(key, 4), dtype=self.model.cfg.dtype,
+                margin=margin, precond_kind=self._precond_kind)
+            try:
+                cal.save_qscales(cache, *qs)
+            except OSError:
+                pass
+        self.precond = wrap_precond(self.model, self._model_args,
+                                    self._precond_kind, qscales=qs)
 
     def _install_fid(self):
         """Optional FID accumulation against precomputed reference stats
@@ -480,7 +535,12 @@ class Evaluator:
             n_batches += 1
             logger.info(f"batch {n_batches}: psnr={p:.3f} ssim={np.mean(s_vals):.4f} "
                         f"lpips={lp:.4f}")
-            kill_after = opts.get("fault_kill_after_batches")
+            # fault-injection is DOUBLE-gated (opts key AND env var): the key
+            # is undeclared in the config schema, and a stray programmatic
+            # opt must not be able to hard-kill a production eval mid-flight
+            kill_after = (opts.get("fault_kill_after_batches")
+                          if os.environ.get("FREE_HUNCH_FAULT_INJECT") == "1"
+                          else None)
             if kill_after and (n_batches - n_resumed) >= int(kill_after):
                 # fault-injection hook (tests/test_multiprocess.py): simulate
                 # a hard crash (kill -9) AFTER this batch's artifacts and

@@ -111,6 +111,11 @@ def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
         params = init_model.init(jax.random.PRNGKey(rng_seed),
                                  jnp.zeros((1, 3, res, res), jnp.float32),
                                  jnp.zeros((1,), jnp.float32), **init_kwargs)
+        # keep only the parameter collection: quant='int8_static' init also
+        # creates placeholder 'qscales' variables, which are calibration
+        # data, not parameters — they must not leak into the params cache
+        # (the tree is quant-mode-independent this way)
+        params = {"params": params["params"]}
         # a freshly initialised ADM UNet computes F(x) == 0 (the reference's
         # zero_module layers are mirrored for conversion parity) — randomise
         # them so random-init smoke runs exercise the whole network
@@ -127,12 +132,22 @@ def load_model(state_dict_path: str, setup_path: str, dtype=jnp.bfloat16,
     return model, params, model_args
 
 
-def wrap_precond(model: UNetModel, model_args: dict, kind: str = "linear"):
-    """Wrap in the sigma-parameterisation (reference load_network:232-241)."""
+def wrap_precond(model: UNetModel, model_args: dict, kind: str = "linear",
+                 qscales=None):
+    """Wrap in the sigma-parameterisation (reference load_network:232-241).
+
+    qscales: per-(site, sigma-stage) static activation-scale table for
+    quant='int8_static' models (models/calibrate.calibrate_qscales)."""
     res = model_args.get("image_size", model.cfg.image_size)
     label_dim = 1000 if model_args.get("class_cond") else 0
+    if model.cfg.quant == "int8_static" and qscales is None:
+        raise ValueError(
+            "quant='int8_static' needs a calibration table: pass qscales="
+            "(sigmas, table) from models/calibrate.calibrate_qscales (or use "
+            "quant='int8' for dynamic activation scales)")
     cls = {"linear": IDDPMLinearPrecond, "cosine": IDDPMCosinePrecond}[kind]
-    return cls(model, img_resolution=res, img_channels=3, label_dim=label_dim)
+    return cls(model, img_resolution=res, img_channels=3, label_dim=label_dim,
+               qscales=qscales)
 
 
 # -- flat npz pytree IO (torch-free fast path) --------------------------------

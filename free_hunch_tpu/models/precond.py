@@ -44,11 +44,32 @@ def _cosine_sigma_grid(C_1: float, C_2: float, M: int) -> np.ndarray:
     return u
 
 
+def _select_qscales(qscales, params, sigma):
+    """Merge the per-stage static activation scales into the apply variables.
+
+    qscales = (sigmas (S,) numpy, table: 'qscales'-collection pytree with
+    (S,)-stacked leaves) from ``models/calibrate.calibrate_qscales``. The
+    stage is picked by nearest-sigma lookup against the calibration grid
+    (the sampler runs one sigma per call — sigma is a broadcast scalar),
+    so a schedule close to the calibrated one degrades gracefully instead
+    of failing."""
+    if qscales is None:
+        return params
+    sigmas, table = qscales
+    idx = jnp.argmin(jnp.abs(jnp.asarray(sigmas, jnp.float32)
+                             - sigma.reshape(-1)[0]))
+    sel = jax.tree.map(lambda a: jnp.asarray(a)[idx], table)
+    return {**params, "qscales": sel}
+
+
 @dataclasses.dataclass(frozen=True)
 class IDDPMLinearPrecond:
     """Linear-beta iDDPM preconditioner. Construct once (precomputes the sigma
     grid and posterior coefficients as numpy), then call
-    ``precond.apply(params, x, sigma)``."""
+    ``precond.apply(params, x, sigma)``.
+
+    qscales: optional (sigmas, table) static-activation-scale calibration for
+    quant='int8_static' models (see ``_select_qscales``)."""
     model: "flax.linen.Module"  # noqa: F821
     img_resolution: int
     img_channels: int
@@ -56,6 +77,7 @@ class IDDPMLinearPrecond:
     beta_min: float = 0.0001
     beta_max: float = 0.02
     M: int = 1000
+    qscales: Optional[tuple] = None
 
     def __post_init__(self):
         u = _linear_sigma_grid(self.beta_min, self.beta_max, self.M)
@@ -97,9 +119,12 @@ class IDDPMLinearPrecond:
             return idx.reshape(jnp.shape(sigma))
         return u[idx].reshape(jnp.shape(sigma))
 
-    def apply(self, params, x: jnp.ndarray, sigma, y: Optional[jnp.ndarray] = None
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """D(x, sigma) -> (x0_mean in [-1,1], x0_var). x: (N, C, H, W) f32."""
+    def apply(self, params, x: jnp.ndarray, sigma, y: Optional[jnp.ndarray] = None,
+              mutable=False):
+        """D(x, sigma) -> (x0_mean in [-1,1], x0_var). x: (N, C, H, W) f32.
+
+        mutable: forwarded to ``model.apply`` (calibration capture, e.g.
+        ('qstats',)); when truthy, returns ((D_x, x0_var), mutated_vars)."""
         x = x.astype(jnp.float32)
         sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32).reshape(-1), (x.shape[0],))
         if self.label_dim and y is None:
@@ -110,7 +135,13 @@ class IDDPMLinearPrecond:
         idx = self.round_sigma(sigma, return_index=True)
         c_noise = (self.M - idx).astype(jnp.float32)
 
-        out = self.model.apply(params, c_in[:, None, None, None] * x, c_noise, y=y)
+        variables = _select_qscales(self.qscales, params, sigma)
+        out = self.model.apply(variables, c_in[:, None, None, None] * x,
+                               c_noise, y=y,
+                               **(dict(mutable=mutable) if mutable else {}))
+        mut = None
+        if mutable:
+            out, mut = out
         F_x = out[:, :self.img_channels]
         v = out[:, self.img_channels:]
 
@@ -122,6 +153,8 @@ class IDDPMLinearPrecond:
 
         D_x = x + c_out[:, None, None, None] * F_x.astype(jnp.float32)
         D_x = jnp.clip(D_x, -1.0, 1.0)
+        if mutable:
+            return (D_x, x0_var), mut
         return D_x, x0_var
 
 
@@ -137,6 +170,7 @@ class IDDPMCosinePrecond:
     C_1: float = 0.001
     C_2: float = 0.008
     M: int = 1000
+    qscales: Optional[tuple] = None
 
     def __post_init__(self):
         u = _cosine_sigma_grid(self.C_1, self.C_2, self.M)
@@ -157,8 +191,8 @@ class IDDPMCosinePrecond:
             return idx.reshape(jnp.shape(sigma))
         return u[idx].reshape(jnp.shape(sigma))
 
-    def apply(self, params, x: jnp.ndarray, sigma, y: Optional[jnp.ndarray] = None
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def apply(self, params, x: jnp.ndarray, sigma, y: Optional[jnp.ndarray] = None,
+              mutable=False):
         x = x.astype(jnp.float32)
         sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32).reshape(-1), (x.shape[0],))
         if self.label_dim and y is None:
@@ -166,10 +200,18 @@ class IDDPMCosinePrecond:
         c_out = -sigma
         c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)
         c_noise = (self.M - 1 - self.round_sigma(sigma, return_index=True)).astype(jnp.float32)
-        out = self.model.apply(params, c_in[:, None, None, None] * x, c_noise, y=y)
+        variables = _select_qscales(self.qscales, params, sigma)
+        out = self.model.apply(variables, c_in[:, None, None, None] * x,
+                               c_noise, y=y,
+                               **(dict(mutable=mutable) if mutable else {}))
+        mut = None
+        if mutable:
+            out, mut = out
         F_x = out[:, :self.img_channels]
         D_x = jnp.clip(x + c_out[:, None, None, None] * F_x.astype(jnp.float32), -1.0, 1.0)
         # no learned-sigma -> posterior-variance mapping on the cosine grid;
         # fall back to the MLE variance sigma^2/(1+sigma^2).
         x0_var = jnp.broadcast_to((sigma**2 / (1 + sigma**2))[:, None, None, None], D_x.shape)
+        if mutable:
+            return (D_x, x0_var), mut
         return D_x, x0_var

@@ -67,6 +67,16 @@ class UNetConfig:
     # (ops/quant.py). The first in_conv, final out_conv (learned-sigma /
     # x0_var channels), GroupNorms, softmax, and time embedding stay
     # high-precision. None = bf16 torso (default).
+    # quant="int8_static": int8 with CALIBRATED per-(site, sigma-stage)
+    # activation scales instead of in-graph abs-max reduces — zero
+    # quantization passes in the forward (ops/quant.py, models/calibrate.py);
+    # apply() must receive a 'qscales' collection (the preconditioner selects
+    # it per stage from the calibration table). "int8_calib" is the
+    # calibration-capture mode (dynamic compute + per-site abs-max sown into
+    # a mutable 'qstats' collection).
+    # INFERENCE-ONLY: every int8 mode returns zero weight cotangents (the
+    # guidance vjp differentiates w.r.t. x only) — training/fine-tuning needs
+    # the bf16 torso (quant=None).
     quant: Optional[str] = None
 
     @property
@@ -104,15 +114,19 @@ class GroupNorm32(nn.Module):
         return groupnorm_silu(x, scale, bias, 32, 1e-5, self.apply_silu)
 
 
+_QUANT_MODES = {"int8": "dynamic", "int8_static": "static",
+                "int8_calib": "calib"}
+
+
 def _conv(features, kernel=3, stride=1, dtype=jnp.bfloat16, name=None,
           zero_init=False, quant=None):
-    if quant == "int8" and stride == 1:
+    if quant in _QUANT_MODES and stride == 1:
         # int8 MXU path; same param names/shapes (kernel HWIO, bias) so
         # checkpoint conversion is untouched. Stride-2 convs (only present
         # when resblock_updown=False) fall through to the bf16 conv.
         from free_hunch_tpu.ops.quant import QuantConv
         return QuantConv(features, kernel, zero_init=zero_init, dtype=dtype,
-                         name=name)
+                         mode=_QUANT_MODES[quant], name=name)
     init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
     # explicit symmetric torch-style padding (k//2 per side): XLA "SAME"
     # resolves to ASYMMETRIC (0, 1) padding for stride-2 kernel-3 convs,
@@ -307,9 +321,10 @@ class AttentionBlock(nn.Module):
         ch = c // heads
         t = h * w
         y = GroupNorm32(c, name="norm")(x).reshape(n, t, c)
-        if self.quant == "int8":
+        if self.quant in _QUANT_MODES:
             from free_hunch_tpu.ops.quant import QuantDense
-            qkv = QuantDense(3 * c, dtype=self.dtype, name="qkv")(y)
+            qkv = QuantDense(3 * c, dtype=self.dtype,
+                             mode=_QUANT_MODES[self.quant], name="qkv")(y)
         else:
             qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32,
                            name="qkv")(y)  # (n, t, 3c)
@@ -328,10 +343,10 @@ class AttentionBlock(nn.Module):
                             (k * scale).astype(jnp.float32))
         weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         a = jnp.einsum("nhts,nshc->nthc", weights, v).reshape(n, t, c)
-        if self.quant == "int8":
+        if self.quant in _QUANT_MODES:
             from free_hunch_tpu.ops.quant import QuantDense
             a = QuantDense(c, zero_init=True, dtype=self.dtype,
-                           name="proj_out")(a)
+                           mode=_QUANT_MODES[self.quant], name="proj_out")(a)
         else:
             a = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                          kernel_init=nn.initializers.zeros_init(),

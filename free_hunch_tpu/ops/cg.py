@@ -37,7 +37,8 @@ def _dot(a, b):
 def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
              precond: Optional[Callable] = None, rtol=1e-3, atol=0.0,
              maxiter: int = 1000, stall_iters: int = 25, min_iter: int = 0,
-             track_best: bool = True, stall_engage: float = 0.5):
+             track_best: bool = True, stall_engage: float = 0.5,
+             stall_floor_check: bool = True):
     """Solve A x = b per batch row with CG.
 
     matvec: (batch, n) -> (batch, n), must apply a symmetric PSD A per row.
@@ -58,6 +59,28 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     super-resolution systems with the network's per-pixel x0 variance,
     dynamic range ~1e8). A plateau below the engage threshold is the f32
     floor; a plateau above it means "keep iterating".
+
+    stall_floor_check (default True): when the stall counter fires, PROVE
+    the floor before freezing. On ill-conditioned systems (the motion-blur
+    PSF spectrum is near-singular, sigma_s -> 0) CG's real convergence rate
+    drops below the 0.1%/iteration the fixed threshold expects, and its
+    non-monotone 2-norm residual plateaus for O(sqrt(kappa)) iterations
+    while the A-norm error still falls — an unconditional freeze there
+    returns a far-from-converged iterate (measured as a 1.97 dB PSNR gap on
+    motion blur at default knobs,
+    docs/ab_reference_64_motion_blur_covgrad_*.json; the reference torch CG,
+    cg.py:118-292, never truncates and converges). The check costs ONE extra
+    matvec per firing (>= stall_iters iterations apart, <= 1/25 = 4%
+    overhead): compute the TRUE residual b - Ax and freeze only if
+    (a) it is at the dtype's rounding floor, true <= 10*eps*(||Ax|| + ||b||)
+        — no further progress is representable; or
+    (b) it has decoupled from the recurrence residual, |true - rec| >
+        0.5*true — the classical attainable-accuracy limit: once
+        accumulated rounding dominates the recurrence, further iterations
+        no longer reduce the true residual (Greenbaum).
+    Otherwise the plateau is CG doing its job slowly: the counter resets
+    and the solve continues (to the rtol stop or maxiter — the reference's
+    own worst-case behaviour, minus the floor iterations it burns).
 
     min_iter: run at least this many iterations even for rows whose initial
     residual already satisfies the tolerance. The reference torch CG
@@ -143,8 +166,31 @@ def cg_batch(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
         # normal pre-convergence residual oscillation, not a floor
         engaged = best < stall_engage * b_norm
         stall = jnp.where(jnp.logical_and(~improved, engaged), stall + 1, 0)
+        stall_hit = stall >= stall_iters
+        if stall_floor_check:
+            # prove the floor before freezing (see docstring): one extra
+            # matvec, run only when some active row's counter fired
+            eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
+            def run_check(_):
+                ax = matvec(x)
+                true_r = b - ax
+                true_res = jnp.sqrt(_dot(true_r, true_r))
+                ax_norm = jnp.sqrt(_dot(ax, ax))
+                at_floor = true_res <= 10.0 * eps * (ax_norm + b_norm)
+                decoupled = jnp.abs(true_res - res) > 0.5 * true_res
+                return jnp.logical_or(at_floor, decoupled)
+
+            need = jnp.any(jnp.logical_and(stall_hit, act))
+            floor = lax.cond(need, run_check,
+                             lambda _: jnp.ones((batch,), bool), None)
+            # window hit but NOT at a provable floor: a plateau, keep going
+            stall = jnp.where(jnp.logical_and(stall_hit, ~floor), 0, stall)
+            frozen = jnp.logical_and(stall_hit, floor)
+        else:
+            frozen = stall_hit
         active = jnp.logical_and(act, res > stop)
-        active = jnp.logical_and(active, stall < stall_iters)
+        active = jnp.logical_and(active, jnp.logical_not(frozen))
         # freeze rows whose residual went non-finite (breakdown guard)
         active = jnp.logical_and(active, jnp.isfinite(res))
         # p^T A p breakdown: CG cannot progress on this row (the reference

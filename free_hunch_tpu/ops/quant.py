@@ -29,8 +29,12 @@ final out_conv (zero-init, produces the learned-sigma channels that become
 x0_var), all GroupNorms and softmaxes (f32 already), and the time-embedding
 MLPs (vector-sized).
 
-The weight cotangent is never needed (guidance differentiates w.r.t. x
-only); the backward returns a symbolic zero for it.
+INFERENCE-ONLY CONTRACT: the quantized layers' backwards return ZERO for the
+weight cotangent — guidance differentiates w.r.t. x only, and that is the
+only differentiation the sampler performs. Training/fine-tuning through a
+``quant='int8*'`` model would silently receive zero weight gradients; use the
+bf16 torso (``quant=None``) for any parameter-gradient use case (also stated
+at ``UNetConfig.quant``).
 """
 from __future__ import annotations
 
@@ -157,18 +161,124 @@ def _int8_dense_bwd(res, g):
 int8_dense.defvjp(_int8_dense_fwd, _int8_dense_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Static activation scales (quant="int8_static").
+#
+# The dynamic per-sample scale needs a full-tensor abs-max REDUCE before the
+# round/clip/s8 convert — a barrier that forces XLA to materialise the f32
+# GroupNorm/SiLU producer chain and re-read the whole activation (the
+# "abs_reduce + clamp_convert" fusion pairs in op_profile_fwd_int8.json,
+# ~entirety of the int8 path's elementwise overhead; BASELINE.md names this
+# as the remaining headroom). With a PRE-CALIBRATED scalar scale the convert
+# fuses directly into the producer: zero extra activation passes.
+#
+# Scales are calibrated per (conv site, sigma stage): the FiLM time
+# conditioning makes activation magnitudes sigma-dependent, but the sampler's
+# sigma grid is STATIC host data, so one calibration run (models/calibrate.py)
+# records the per-site abs-max at every stage and the preconditioner selects
+# the stage's scale set by nearest-sigma lookup. Outlier activations beyond
+# the calibrated range clip at +-127 * scale (standard static-quantization
+# behaviour; error budget re-measured in docs/bench/int8_quality_ab.json).
+#
+# The backward cotangent stays DYNAMICALLY scaled — gradient magnitudes vary
+# over orders of magnitude across stages and are not calibratable.
+# ---------------------------------------------------------------------------
+
+def _quantize_act_static(x, ascale):
+    """Quantize with a precomputed scalar scale: one fused elementwise pass,
+    no reduce. ascale: () f32."""
+    inv = (jnp.float32(1.0) / ascale).astype(x.dtype)
+    return jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def int8_conv_static(x, w, ascale, pad):
+    """``int8_conv`` with a calibrated scalar activation scale (see above).
+    ascale: () f32 traced scalar (selected per sigma stage by the caller)."""
+    return _int8_conv_static_fwd(x, w, ascale, pad)[0]
+
+
+def _int8_conv_static_fwd(x, w, ascale, pad):
+    wq, wscale = _quantize_weight(w, reduce_axes=(0, 1, 2))
+    xq = _quantize_act_static(x, ascale)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32) * (ascale * wscale)).astype(x.dtype)
+    return out, (wq, wscale, w.shape, jnp.zeros((0,), x.dtype))
+
+
+def _int8_conv_static_bwd(pad, res, g):
+    dx, dw = _int8_conv_bwd(pad, res, g)
+    return dx, dw, jnp.zeros((), jnp.float32)
+
+
+int8_conv_static.defvjp(_int8_conv_static_fwd, _int8_conv_static_bwd)
+
+
+@jax.custom_vjp
+def int8_dense_static(x, w, ascale):
+    """``int8_dense`` with a calibrated scalar activation scale."""
+    return _int8_dense_static_fwd(x, w, ascale)[0]
+
+
+def _int8_dense_static_fwd(x, w, ascale):
+    wq, wscale = _quantize_weight(w, reduce_axes=(0,))
+    xq = _quantize_act_static(x, ascale)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32) * (ascale * wscale.reshape(
+        (1,) * (x.ndim - 1) + (-1,)))).astype(x.dtype)
+    return out, (wq, wscale, w.shape, jnp.zeros((0,), x.dtype))
+
+
+def _int8_dense_static_bwd(res, g):
+    dx, dw = _int8_dense_bwd(res, g)
+    return dx, dw, jnp.zeros((), jnp.float32)
+
+
+int8_dense_static.defvjp(_int8_dense_static_fwd, _int8_dense_static_bwd)
+
+
+def _act_scale_var(module: nn.Module):
+    """The per-site static activation scale, read from the 'qscales'
+    collection (populated per sigma stage by the preconditioner from the
+    calibration table — models/calibrate.py)."""
+    return module.variable("qscales", "act_scale",
+                           lambda: jnp.ones((), jnp.float32)).value
+
+
+def _sow_act_amax(module: nn.Module, x):
+    """Calibration mode: record this site's batch abs-max into the mutable
+    'qstats' collection (reduced with max across sows)."""
+    amax = jnp.max(jnp.abs(x).astype(jnp.float32))
+    module.sow("qstats", "amax", amax,
+               init_fn=lambda: jnp.zeros((), jnp.float32),
+               reduce_fn=jnp.maximum)
+
+
 class QuantConv(nn.Module):
     """Drop-in replacement for the torso ``nn.Conv``: same param names
     ('kernel' HWIO, 'bias') and f32 master weights, int8 compute path.
 
     Stride-1 only — the flagship topology (``resblock_updown=True``)
     downsamples via avg-pool + stride-1 convs, so every torso conv
-    qualifies; the constructor asserts rather than silently degrading.
+    qualifies. QuantConv itself has no stride parameter; stride!=1 call
+    sites fall back to the bf16 ``nn.Conv`` inside ``models/unet._conv``
+    (only reachable with ``resblock_updown=False`` topologies).
+
+    mode: 'dynamic' — per-sample activation scales computed in-graph;
+          'static'  — calibrated per-(site, sigma-stage) scalar scales read
+                      from the 'qscales' collection (see module docstring);
+          'calib'   — dynamic compute + sow per-site abs-max into 'qstats'.
     """
     features: int
     kernel_size: int = 3
     zero_init: bool = False
     dtype: jnp.dtype = jnp.bfloat16  # output cast (torso compute dtype)
+    mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x):
@@ -179,23 +289,31 @@ class QuantConv(nn.Module):
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
-        # NOTE two hardware-A/B'd non-wins, so the next reader doesn't
-        # re-try them: a strided-subsample abs-max (126 -> 142 ms/fwd) and
-        # an optimization_barrier forcing one bf16 materialisation of the
-        # GroupNorm producer (126 -> 151 ms/fwd) — XLA's own fusion split
-        # beats both; the remaining quantization overhead needs the fused
-        # GN+quantize Pallas kernel (BASELINE.md).
-        out = int8_conv(x.astype(self.dtype), kernel, k // 2)
+        xc = x.astype(self.dtype)
+        if self.mode == "static":
+            out = int8_conv_static(xc, kernel, _act_scale_var(self), k // 2)
+        else:
+            if self.mode == "calib":
+                _sow_act_amax(self, xc)
+            # NOTE two hardware-A/B'd non-wins, so the next reader doesn't
+            # re-try them: a strided-subsample abs-max (126 -> 142 ms/fwd)
+            # and an optimization_barrier forcing one bf16 materialisation
+            # of the GroupNorm producer (126 -> 151 ms/fwd) — XLA's own
+            # fusion split beats both; erasing the quantization overhead
+            # entirely is what mode='static' is for.
+            out = int8_conv(xc, kernel, k // 2)
         # bias in the compute dtype, like flax nn.Conv(dtype=bf16) does —
         # an f32 bias would promote the whole activation back to f32
         return out + bias.astype(self.dtype).reshape(1, 1, 1, -1)
 
 
 class QuantDense(nn.Module):
-    """Drop-in replacement for attention qkv/proj ``nn.Dense``."""
+    """Drop-in replacement for attention qkv/proj ``nn.Dense``
+    (mode semantics as in QuantConv)."""
     features: int
     zero_init: bool = False
     dtype: jnp.dtype = jnp.bfloat16  # output cast (torso compute dtype)
+    mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x):
@@ -205,7 +323,13 @@ class QuantDense(nn.Module):
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
-        out = int8_dense(x.astype(self.dtype), kernel)
+        xc = x.astype(self.dtype)
+        if self.mode == "static":
+            out = int8_dense_static(xc, kernel, _act_scale_var(self))
+        else:
+            if self.mode == "calib":
+                _sow_act_amax(self, xc)
+            out = int8_dense(xc, kernel)
         return out + bias.astype(self.dtype).reshape(
             (1,) * (out.ndim - 1) + (-1,))
 

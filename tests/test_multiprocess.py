@@ -114,6 +114,10 @@ def _eval_opts(models_dir, setup_path, outdir, **over):
 
 def _spawn_eval(pid, port, outdir, opts):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # arm the fault-injection hook: eval.py honours fault_kill_after_batches
+    # only under this env var (a stray programmatic opt alone must not be
+    # able to SIGKILL a production run)
+    env["FREE_HUNCH_FAULT_INJECT"] = "1"
     return subprocess.Popen(
         [sys.executable, _EVAL_WORKER, str(pid), "2", str(port), outdir,
          json.dumps(opts)],

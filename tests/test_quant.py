@@ -172,3 +172,154 @@ class TestPrecondContract:
         assert mean_q.shape == mean_f.shape and var_q.shape == var_f.shape
         assert rel_err(mean_q, mean_f) < 0.10
         assert rel_err(var_q, var_f) < 0.15
+
+
+class TestStaticScales:
+    """quant='int8_static' (VERDICT r4 #1): calibrated per-(site, sigma-stage)
+    activation scales replace the in-graph abs-max reduces. Gates: the static
+    primitives match the dynamic ones given the dynamic scale; the calibrated
+    full model tracks the dynamic model within the int8 error budget; the
+    preconditioner's nearest-sigma stage lookup selects the right scales."""
+
+    def test_static_primitives_match_dynamic_given_same_scale(self):
+        from free_hunch_tpu.ops.quant import (_quantize_act, int8_conv_static,
+                                              int8_dense_static)
+        k = jax.random.PRNGKey(0)
+        x = jax.random.normal(jax.random.fold_in(k, 0), (2, 8, 8, 16),
+                              jnp.float32)
+        w = jax.random.normal(jax.random.fold_in(k, 1), (3, 3, 16, 24),
+                              jnp.float32) * 0.05
+        _, ascale = _quantize_act(x)
+        # batch-wide scalar scale == the max per-sample scale
+        s = jnp.max(ascale)
+        out_s = int8_conv_static(x, w, s, 1)
+        out_d = int8_conv(x, w, 1)
+        # same quantization grid up to per-sample-vs-global scale: bounded by
+        # the int8 rounding budget
+        assert rel_err(out_s, out_d) < 0.02
+        xd = x.reshape(2, -1)
+        wd = jax.random.normal(jax.random.fold_in(k, 2), (1024, 32),
+                               jnp.float32)
+        _, asc2 = _quantize_act(xd)
+        assert rel_err(int8_dense_static(xd, wd, jnp.max(asc2)),
+                       int8_dense(xd, wd)) < 0.02
+
+    def test_static_pullback_and_scale_cotangent(self):
+        from free_hunch_tpu.ops.quant import int8_conv_static
+        k = jax.random.PRNGKey(3)
+        x = jax.random.normal(jax.random.fold_in(k, 0), (2, 8, 8, 16),
+                              jnp.float32)
+        w = jax.random.normal(jax.random.fold_in(k, 1), (3, 3, 16, 24),
+                              jnp.float32) * 0.05
+        g = jax.random.normal(jax.random.fold_in(k, 2), (2, 8, 8, 24),
+                              jnp.float32)
+        s = jnp.asarray(float(jnp.max(jnp.abs(x))) / 127.0, jnp.float32)
+        _, vjp_s = jax.vjp(lambda xx, ss: int8_conv_static(xx, w, ss, 1), x, s)
+        dx, ds = vjp_s(g)
+        _, vjp_f = jax.vjp(lambda xx: f32_conv(xx, w, 1), x)
+        assert rel_err(dx, vjp_f(g)[0]) < 0.02
+        assert float(jnp.abs(ds)) == 0.0  # scale carries no gradient
+
+    def test_calibrated_model_tracks_dynamic(self, tmp_path):
+        """End-to-end: calibrate on the production sampler replay, then the
+        static model must match the dynamic model per call and over a full
+        guided run (the smoke protocol of models/calibrate.py)."""
+        from free_hunch_tpu.guidance import choose_conditioning_mechanism
+        from free_hunch_tpu.models.calibrate import (calibrate_qscales,
+                                                     load_qscales,
+                                                     save_qscales)
+        from free_hunch_tpu.models.loading import (randomize_zero_leaves,
+                                                   wrap_precond)
+        from free_hunch_tpu.models.unet import create_model
+        from free_hunch_tpu.operators import get_operator
+        from free_hunch_tpu.samplers.edm import (prepare_schedule,
+                                                 required_cov_capacity,
+                                                 sample_scan)
+
+        res = 32
+        model_args = dict(image_size=res, num_channels=32, num_res_blocks=1,
+                          attention_resolutions="8", num_head_channels=16,
+                          channel_mult="1,2", learn_sigma=True,
+                          use_scale_shift_norm=True, resblock_updown=True)
+        dyn = create_model(dtype=jnp.float32, remat=False, quant="int8",
+                           **model_args)
+        params = dyn.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res)),
+                          jnp.zeros((1,)))
+        params = {"params": params["params"]}
+        params = randomize_zero_leaves(params, seed=0)
+        pre_dyn = wrap_precond(dyn, model_args, "linear")
+        op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),
+                          sigma_s=0.1, kernel_size=61, intensity=3.0)
+        xs, s0 = prepare_schedule(
+            round_sigma=pre_dyn.round_sigma, net_sigma_min=pre_dyn.sigma_min,
+            net_sigma_max=pre_dyn.sigma_max, num_steps=4, solver="heun",
+            discretization="edm", schedule="linear", scaling="none")
+        mech = choose_conditioning_mechanism("online_covariance")(
+            cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
+            image_base_covariance="dct_diagonal_noinfo",
+            init_denoiser_variance=1.0, init_noise_variance=80.0**2,
+            data_dim=3 * res * res, cov_capacity=required_cov_capacity(xs),
+            solver_type="customcuda", guidance_gradient="covariance")
+        key = jax.random.PRNGKey(1)
+        cond = jax.random.uniform(jax.random.fold_in(key, 0),
+                                  (2, 3, res, res), minval=-1, maxval=1)
+        y = jax.jit(lambda c, k: op.forward(c, noiseless=False, key=k))(
+            cond, jax.random.fold_in(key, 1))
+        noise = jax.random.normal(jax.random.fold_in(key, 2), (2, 3, res, res))
+        sigmas, table = calibrate_qscales(
+            model_args, params, mech, noise, y, xs, s0,
+            jax.random.fold_in(key, 3), dtype=jnp.float32)
+        assert sigmas.ndim == 1 and sigmas.shape[0] >= 4
+
+        # persistence roundtrip
+        path = str(tmp_path / "qs.npz")
+        save_qscales(path, sigmas, table)
+        s2, t2 = load_qscales(path)
+        np.testing.assert_allclose(s2, sigmas)
+        for a, b in zip(jax.tree.leaves(t2), jax.tree.leaves(table)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+        stat = create_model(dtype=jnp.float32, remat=False,
+                            quant="int8_static", **model_args)
+        pre_stat = wrap_precond(stat, model_args, "linear",
+                                qscales=(sigmas, table))
+        # per-call parity on trajectory-scale inputs at both schedule ends
+        for sig in (float(sigmas[-1]), float(sigmas[0])):
+            x = jax.random.normal(jax.random.fold_in(key, 9),
+                                  (2, 3, res, res)) * max(sig, 0.05)
+            md, _ = pre_dyn.apply(params, x, jnp.full((2,), sig))
+            ms, _ = pre_stat.apply(params, x, jnp.full((2,), sig))
+            assert rel_err(ms, md) < 0.05, sig
+
+        # full guided run: static vs dynamic within the int8 error budget
+        den_s = lambda x, s: pre_stat.apply(params, x, s)
+        den_d = lambda x, s: pre_dyn.apply(params, x, s)
+        xs_f, _ = jax.jit(lambda n, y_, k: sample_scan(
+            den_s, mech, n, y_, xs, k, sigma0_scaled=s0))(
+                noise, y, jax.random.fold_in(key, 4))
+        xd_f, _ = jax.jit(lambda n, y_, k: sample_scan(
+            den_d, mech, n, y_, xs, k, sigma0_scaled=s0))(
+                noise, y, jax.random.fold_in(key, 4))
+        assert rel_err(xs_f, xd_f) < 0.05
+
+    def test_wrap_precond_requires_qscales_for_static(self):
+        from free_hunch_tpu.models.loading import wrap_precond
+        from free_hunch_tpu.models.unet import create_model
+        model_args = dict(image_size=64, num_channels=32, num_res_blocks=1,
+                          attention_resolutions="8", num_head_channels=16,
+                          learn_sigma=True)
+        m = create_model(dtype=jnp.float32, quant="int8_static", **model_args)
+        with pytest.raises(ValueError, match="calibration table"):
+            wrap_precond(m, model_args, "linear")
+
+    def test_precond_selects_stage_scales_by_nearest_sigma(self):
+        """_select_qscales must pick the stage whose calibration sigma is
+        nearest (per-stage FiLM-dependent scales are the point of the
+        table)."""
+        from free_hunch_tpu.models.precond import _select_qscales
+        sigmas = np.asarray([0.1, 1.0, 10.0], np.float32)
+        table = {"site": {"act_scale": jnp.asarray([1.0, 2.0, 3.0])}}
+        for sig, want in ((0.12, 1.0), (2.0, 2.0), (80.0, 3.0)):
+            v = _select_qscales((sigmas, table), {"params": {}},
+                                jnp.full((2,), sig))
+            assert float(v["qscales"]["site"]["act_scale"]) == want
