@@ -86,12 +86,25 @@ def calibrate_qscales(model_args: dict, params, mechanism, noise, y, xs,
     dyn_model = create_model(dtype=dtype, remat=False, quant="int8",
                              **model_args)
     dyn_precond = wrap_precond(dyn_model, model_args, precond_kind)
-    denoise = lambda x, s: dyn_precond.apply(params, x, s)
-    run = jax.jit(lambda n, y_, k: sample_scan(
-        denoise, mechanism, n, y_, xs, k, sigma0_scaled=sigma0_scaled,
-        return_trajectory=True))
-    _, traj = run(noise, y, rng_key)
-    traj = np.asarray(jax.device_get(traj))  # (num_steps, B, C, H, W)
+    # params as a jit ARGUMENT, not a closure capture — captured they would
+    # be embedded as 2.2GB of lowering constants
+    import sys as _sys
+    import time as _time
+
+    def _log(msg):
+        print(f"  qscale calibration: {msg}", file=_sys.stderr, flush=True)
+
+    run = jax.jit(lambda p, n, y_, k: sample_scan(
+        lambda x, s: dyn_precond.apply(p, x, s), mechanism, n, y_, xs, k,
+        sigma0_scaled=sigma0_scaled, return_trajectory=True))
+    _t0 = _time.time()
+    _log("compiling + running the dynamic-int8 trajectory replay...")
+    _, traj = run(params, noise, y, rng_key)
+    jax.block_until_ready(traj)
+    _log(f"trajectory done in {_time.time() - _t0:.1f}s")
+    # traj STAYS on device — (num_steps, B, C, H, W) is ~190 MB at the bench
+    # protocol, and remote TPU tunnels (axon) transfer at ~MB/s; only the
+    # tiny per-site amax trees ever cross to the host
 
     # 2. stage (sigma, state) pairs. With the default no-churn schedule
     # x_hat_i = scale_ratio_i * x_{i-1}; the Heun corrector state x_prime_i
@@ -102,14 +115,26 @@ def calibrate_qscales(model_args: dict, params, mechanism, noise, y, xs,
     sigma_prime = np.asarray(xs["sigma_prime"], np.float64)
     scale_ratio = np.asarray(xs["scale_ratio"], np.float64)
     use_heun = np.asarray(xs["use_heun"], bool)
-    x0 = np.asarray(jax.device_get(noise), np.float32) * sigma0_scaled
-    stages = []
+
+    # all state gathering stays under jit: remote TPU backends (axon)
+    # mis-handle eagerly dispatched ops (see eval._install_codecs), and a
+    # per-stage eager slice/scale would be 2x59 eager dispatches
+    @jax.jit
+    def gather_state(traj_, n_, j, ratio):
+        """Extended-trajectory lookup: j=0 -> the initial noise state,
+        j>=1 -> traj[j-1]; scaled by ratio (the churn scale_ratio)."""
+        x0_ = n_.astype(jnp.float32) * sigma0_scaled
+        prev = jnp.where(
+            j == 0, x0_,
+            jax.lax.dynamic_index_in_dim(traj_, jnp.maximum(j - 1, 0), 0,
+                                         keepdims=False))
+        return ratio * prev
+
+    stages = []  # (sigma, j, ratio)
     for i in range(len(sigma_hat)):
-        prev = x0 if i == 0 else traj[i - 1]
-        stages.append((float(sigma_hat[i]),
-                       np.float32(scale_ratio[i]) * prev))
+        stages.append((float(sigma_hat[i]), i, float(scale_ratio[i])))
         if use_heun[i]:
-            stages.append((float(sigma_prime[i]), traj[i]))
+            stages.append((float(sigma_prime[i]), i + 1, 1.0))
 
     # 3. capture per-site abs-max at every stage with the calib model
     calib_model = create_model(dtype=dtype, remat=False, quant="int8_calib",
@@ -117,18 +142,21 @@ def calibrate_qscales(model_args: dict, params, mechanism, noise, y, xs,
     calib_precond = wrap_precond(calib_model, model_args, precond_kind)
 
     @jax.jit
-    def stage_stats(x, s):
-        _, mut = calib_precond.apply(params, x, s, mutable=("qstats",))
+    def stage_stats(p, x, s):
+        _, mut = calib_precond.apply(p, x, s, mutable=("qstats",))
         return mut["qstats"]
 
     by_sigma = {}  # sigma -> amax tree (np leaves), max-merged on collision
-    for sigma, state in stages:
-        tree = jax.device_get(stage_stats(jnp.asarray(state),
-                                          jnp.float32(sigma)))
+    for idx, (sigma, j, ratio) in enumerate(stages):
+        state = gather_state(traj, noise, jnp.asarray(j, jnp.int32),
+                             jnp.float32(ratio))
+        tree = jax.device_get(stage_stats(params, state, jnp.float32(sigma)))
         if sigma in by_sigma:
             by_sigma[sigma] = jax.tree.map(np.maximum, by_sigma[sigma], tree)
         else:
             by_sigma[sigma] = tree
+        if idx % 10 == 0:
+            _log(f"stage {idx + 1}/{len(stages)}")
 
     sigmas = np.asarray(sorted(by_sigma), np.float32)
     trees = [_qstats_to_scale_tree(by_sigma[float(s)], margin)
@@ -177,3 +205,55 @@ def qscales_cache_key(state_dict_path: str, model_args: dict, num_steps: int,
         .hexdigest()[:10]
     m = ("%g" % margin).replace(".", "p")
     return f"{state_dict_path}.qscales.{arch}.s{num_steps}.r{res}.m{m}.npz"
+
+
+def bench_qscales(state_dict_path: str, model_args: dict, params, *,
+                  num_steps: int, res: int, batch: int = 8,
+                  dtype=jnp.bfloat16, margin: float = 1.0,
+                  precond_kind: str = "linear"):
+    """Calibration table for the benchmark/profiling protocol (bench.py /
+    scripts/op_profile.py): gaussian-blur operator + online-covariance
+    mechanism with the covariance guidance gradient (the trajectory's
+    activation statistics, which is all calibration needs, are
+    gradient-mode-independent — the cheap mode keeps the one-time replay
+    short). Cached next to the checkpoint."""
+    from free_hunch_tpu.guidance import choose_conditioning_mechanism
+    from free_hunch_tpu.models.loading import wrap_precond
+    from free_hunch_tpu.operators import get_operator
+    from free_hunch_tpu.samplers.edm import (prepare_schedule,
+                                             required_cov_capacity)
+
+    cache = qscales_cache_key(state_dict_path, model_args, num_steps, res,
+                              margin)
+    qs = load_qscales(cache)
+    if qs is not None:
+        return qs
+    dyn = create_model(dtype=dtype, remat=False, quant="int8", **model_args)
+    pre = wrap_precond(dyn, model_args, precond_kind)
+    op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),
+                      sigma_s=0.1, kernel_size=61, intensity=3.0)
+    xs, s0 = prepare_schedule(
+        round_sigma=pre.round_sigma, net_sigma_min=pre.sigma_min,
+        net_sigma_max=pre.sigma_max, num_steps=num_steps, solver="heun",
+        discretization="edm", schedule="linear", scaling="none")
+    mech = choose_conditioning_mechanism("online_covariance")(
+        cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
+        image_base_covariance="dct_diagonal", init_denoiser_variance=1.0,
+        init_noise_variance=80.0**2, data_dim=3 * res * res,
+        cov_capacity=required_cov_capacity(xs), solver_type="customcuda",
+        guidance_gradient="covariance")
+    key = jax.random.PRNGKey(17)
+    cond = jax.random.uniform(jax.random.fold_in(key, 0),
+                              (batch, 3, res, res), minval=-1, maxval=1)
+    y = jax.jit(lambda c, k: op.forward(c, noiseless=False, key=k))(
+        cond, jax.random.fold_in(key, 1))
+    noise = jax.random.normal(jax.random.fold_in(key, 2),
+                              (batch, 3, res, res))
+    qs = calibrate_qscales(model_args, params, mech, noise, y, xs, s0,
+                           jax.random.fold_in(key, 3), dtype=dtype,
+                           margin=margin, precond_kind=precond_kind)
+    try:
+        save_qscales(cache, *qs)
+    except OSError:
+        pass
+    return qs

@@ -69,6 +69,16 @@ def gn_silu_quant_reference(x, gamma_nc, beta_nc, groups, eps):
 
 
 def _stats_kernel(x_ref, out_ref, *, groups):
+    # CAVEAT (known, accepted): the fused pass computes group variance as
+    # E[x^2] - E[x]^2 in f32, which loses precision by cancellation when
+    # |mean| >> std (near-degenerate groups) — the jnp reference twin
+    # (_gn_silu_ref_f32 in ops/quant.py) and the straight-through backward
+    # use the two-pass centered variance and can disagree there. A centered
+    # second pass would fix it at the cost of one more full read of x; this
+    # kernel is OPT-IN and already measured slower than XLA's fusion on v5e
+    # (module docstring), so the extra pass is not worth carrying. If the
+    # kernel is ever promoted to a default on other hardware, switch this to
+    # the centered formulation first.
     i = pl.program_id(1)
 
     @pl.when(i == 0)

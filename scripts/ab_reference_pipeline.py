@@ -40,7 +40,8 @@ from tests._reference_oracle import install_reference_stubs  # noqa: E402
 def run_ab(res=64, channels=32, num_res_blocks=1, steps=30, seed=0,
            basis=None, rtol_floor=1e-6, verbose=True,
            operator="gaussian_blur", guidance_gradient="vjp",
-           checkpoint=None, setup=None, max_rtol=1.0, strict_cg=False):
+           checkpoint=None, setup=None, max_rtol=1.0, strict_cg=False,
+           steps_ours=None):
     """Run the A/B; returns a dict of agreement metrics.
 
     operator: any of the four paper operators — 'gaussian_blur' (61x61
@@ -58,7 +59,7 @@ def run_ab(res=64, channels=32, num_res_blocks=1, steps=30, seed=0,
         return _run_ab_inner(res, channels, num_res_blocks, steps, seed,
                              basis, rtol_floor, verbose, torch, operator,
                              guidance_gradient, checkpoint, setup, max_rtol,
-                             strict_cg)
+                             strict_cg, steps_ours)
     finally:
         os.chdir(cwd)
 
@@ -66,7 +67,7 @@ def run_ab(res=64, channels=32, num_res_blocks=1, steps=30, seed=0,
 def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
                   rtol_floor, verbose, torch, operator="gaussian_blur",
                   guidance_gradient="vjp", checkpoint=None, setup=None,
-                  max_rtol=1.0, strict_cg=False):
+                  max_rtol=1.0, strict_cg=False, steps_ours=None):
     import conditioning_utils.online_update_bfgs as oub
     if not hasattr(oub, "CovarianceHessianBFGSDCTPCA"):
         oub.CovarianceHessianBFGSDCTPCA = oub.CovarianceHessianBFGSDCT
@@ -210,21 +211,40 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
         # routes between the vjp pullback (std <= thresh: 1e9 disables the
         # fallback) and the covariance product Sigma_0 mat / sigma^2 — the
         # reference's own alternative at conditioning_mechanisms.py:283-285;
-        # a negative threshold forces it on every call
+        # a negative threshold forces it on every call. For 'hybrid' the
+        # per-call patch below flips it by sigma.
         denoiser_mean_error_threshold=(
-            1e9 if guidance_gradient == "vjp" else -1.0),
+            -1.0 if guidance_gradient == "covariance" else 1e9),
         use_analytical_score_time_update=True, project_to_diagonal=False,
         space_step_update_threshold=10.0,
         space_step_update_lower_threshold=1.0, max_rtol=max_rtol,
         do_space_updates=True, use_analytic_var_at_end=False,
         solver_type="customcuda", use_rtol_func=False, diffpir_lambda=10.0)
 
+    # 'hybrid' (our guidance_gradient=hybrid default, guidance_vjp_below=1.0):
+    # vjp pullback below sigma=1, covariance product above. The reference
+    # routes per call by the update's std; flipping its threshold per call by
+    # sigma makes both sides take the same branch at the same stage.
+    hybrid_below = 1.0
+    orig_x0mu = ref_mech.BFGSOnlineUpdate.x0_mean_update
+    if guidance_gradient == "hybrid":
+        def _hybrid_x0mu(self, x_t, model, yy, sigma, _orig=orig_x0mu):
+            s = float(np.asarray(sigma.detach()).reshape(-1)[0])
+            self.denoiser_mean_error_threshold = (
+                1e9 if s < hybrid_below else -1.0)
+            return _orig(self, x_t, model, yy, sigma)
+
+        ref_mech.BFGSOnlineUpdate.x0_mean_update = _hybrid_x0mu
+
     t0 = time.time()
-    x_ref, _, y_ref = ref_gc.conditional_sampler(
-        tpre, torch.from_numpy(noise), torch.from_numpy(cond), op_kw, {},
-        num_steps=steps, solver="heun", discretization="edm",
-        schedule="linear", scaling="none", alpha=1.0, S_churn=0.0,
-        S_noise=0.0, **ref_other)
+    try:
+        x_ref, _, y_ref = ref_gc.conditional_sampler(
+            tpre, torch.from_numpy(noise), torch.from_numpy(cond), op_kw, {},
+            num_steps=steps, solver="heun", discretization="edm",
+            schedule="linear", scaling="none", alpha=1.0, S_churn=0.0,
+            S_noise=0.0, **ref_other)
+    finally:
+        ref_mech.BFGSOnlineUpdate.x0_mean_update = orig_x0mu
     t_ref = time.time() - t0
     x_ref = x_ref.detach().numpy().astype(np.float32)
     if verbose:
@@ -251,7 +271,8 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
         forward_operator=j_op, cond_scaling=1.0, clip_x0_mean=False,
         init_denoiser_variance=1.0, init_noise_variance=80.0**2,
         data_dim=3 * res * res, image_base_covariance=basis,
-        data_dir="/root/reference/data/imagenet/", cov_capacity=4 * steps,
+        data_dir="/root/reference/data/imagenet/",
+        cov_capacity=4 * (steps_ours or steps),
         max_vector_count=100000, project_to_diagonal=False,
         denoiser_mean_error_threshold=1e9,
         use_analytical_score_time_update=True,
@@ -271,13 +292,17 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
            if strict_cg else {}))
 
     t0 = time.time()
+    # steps_ours (reduced-step certification, VERDICT r4 #5): our run uses a
+    # SHORTER schedule against the reference's full one — the paper's own
+    # thesis (a better covariance estimate needs fewer denoiser evals); the
+    # reported delta is then the reduced-step operating point's quality cost
     x, _, y = conditional_sampler(
         lambda xx, ss: jpre.apply(params, xx, ss), jnp.asarray(noise),
         jnp.asarray(cond), j_op, mech, rng_key=jax.random.PRNGKey(0),
         round_sigma=jpre.round_sigma, net_sigma_min=jpre.sigma_min,
-        net_sigma_max=jpre.sigma_max, num_steps=steps, solver="heun",
-        discretization="edm", schedule="linear", scaling="none",
-        S_churn=0.0, S_noise=0.0)
+        net_sigma_max=jpre.sigma_max, num_steps=steps_ours or steps,
+        solver="heun", discretization="edm", schedule="linear",
+        scaling="none", S_churn=0.0, S_noise=0.0)
     t_ours = time.time() - t0
     x = np.asarray(x, np.float32)
     if verbose:
@@ -318,6 +343,7 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
                       real_checkpoint=checkpoint or False,
                       rtol_floor=rtol_floor, max_rtol=max_rtol,
                       strict_cg=strict_cg, seed=seed,
+                      steps_ours=steps_ours,
                       channel_mult=list(channel_mult),
                       attention_ds=list(attn_ds),
                       data_dim=3 * res * res,
@@ -338,8 +364,13 @@ def _run_ab_inner(res, channels, num_res_blocks, steps, seed, basis,
                           abs_diff=abs(ssim_ref - ssim_ours)),
         wall_clock_s=dict(reference_torch_cpu=round(t_ref, 1),
                           ours_jax_cpu=round(t_ours, 1)),
+        # reduced-step runs compare DIFFERENT schedules (trajectories cannot
+        # match pointwise); the claim is the metric delta, gated loosely —
+        # the recorded abs_diff is the certified number
         agree=bool(y_err < 1e-3 and
-                   (final_err < 5e-3 or abs(psnr_ref - psnr_ours) < 0.05)),
+                   ((final_err < 5e-3 or abs(psnr_ref - psnr_ours) < 0.05)
+                    if steps_ours is None
+                    else abs(psnr_ref - psnr_ours) < 0.5)),
     )
     return out
 
@@ -536,13 +567,25 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
     # reference-side guidance-gradient selection (see _run_ab_inner): a
     # negative threshold forces the covariance product branch every call
     ref_common = dict(common, denoiser_mean_error_threshold=(
-        1e9 if guidance_gradient == "vjp" else -1.0))
+        -1.0 if guidance_gradient == "covariance" else 1e9))
     ref = ref_mech.BFGSOnlineUpdate(
         1.0, t_op, False, init_denoiser_variance=1,
         init_noise_variance=torch.tensor(sigma0**2), data_dim=3 * res * res,
         pigdm_posthoc_scaling=False, image_base_covariance=basis,
         data_dir=data_dir or "data/imagenet/", pca_component_count=10,
         solver_type="customcuda", diffpir_lambda=10, **ref_common)
+    if guidance_gradient == "hybrid":
+        # sigma-routed branch selection on the reference side (see the free
+        # mode's per-call patch): vjp below sigma=1, covariance above —
+        # matching our mechanism's guidance_vjp_below=1.0 default
+        _orig_x0mu = ref.x0_mean_update
+
+        def _hybrid_x0mu(x_t, model, yy, sigma):
+            s = float(np.asarray(sigma.detach()).reshape(-1)[0])
+            ref.denoiser_mean_error_threshold = 1e9 if s < 1.0 else -1.0
+            return _orig_x0mu(x_t, model, yy, sigma)
+
+        ref.x0_mean_update = _hybrid_x0mu
     fixed_iters_env = int(os.environ.get("AB_CG_FIXED_ITERS", "0"))
     mine_common = dict(common)
     if fixed_iters_env:
@@ -918,14 +961,24 @@ def main():
                          "evaluation (its conditioning costs ~5 digits with "
                          "the real dct prior), removing the formula term "
                          "from the A/B")
-    ap.add_argument("--guidance_gradient", choices=["vjp", "covariance"],
+    ap.add_argument("--guidance_gradient",
+                    choices=["vjp", "covariance", "hybrid"],
                     default="vjp",
                     help="guidance gradient on BOTH sides: vjp (the "
-                         "reference default pullback) or covariance (the "
+                         "reference default pullback), covariance (the "
                          "reference's own alternative at "
                          "conditioning_mechanisms.py:283-285, forced there "
                          "via a negative denoiser_mean_error_threshold; our "
-                         "54.7 samples/min fast mode)")
+                         "fast mode), or hybrid (vjp below sigma=1, "
+                         "covariance above — the reference side's threshold "
+                         "is flipped per call by sigma so both sides take "
+                         "the same branch at the same stage)")
+    ap.add_argument("--steps_ours", type=int, default=None,
+                    help="free mode: run OUR sampler with this many steps "
+                         "against the reference at --steps (reduced-step "
+                         "operating-point certification; the recorded PSNR "
+                         "abs_diff is the quality cost of the shorter "
+                         "schedule)")
     ap.add_argument("--strict_cg", action="store_true",
                     help="free mode: disable stall truncation + best-iterate "
                          "return so both CG solvers run the reference's "
@@ -973,7 +1026,8 @@ def main():
             num_res_blocks=args.num_res_blocks, steps=args.steps,
             seed=args.seed, basis=args.basis, operator=args.operator,
             guidance_gradient=args.guidance_gradient,
-            max_rtol=args.max_rtol, strict_cg=args.strict_cg)
+            max_rtol=args.max_rtol, strict_cg=args.strict_cg,
+            steps_ours=args.steps_ours)
     path = args.out or os.path.join(REPO, "docs", f"ab_reference_{args.res}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

@@ -117,7 +117,17 @@ def main():
         "models/256x256_diffusion_uncond.pt",
         "models/256x256_diffusion_uncond_setup.txt",
         dtype=dtype, init_random_if_missing=True, remat=remat, quant=quant)
-    precond = wrap_precond(model, model_args, "linear")
+    qscales = None
+    if quant == "int8_static":
+        # calibrated per-(site, sigma-stage) activation scales (cached);
+        # profiled at the bench schedule's length
+        from free_hunch_tpu.models.calibrate import bench_qscales
+        qscales = bench_qscales(
+            "models/256x256_diffusion_uncond.pt", model_args, params,
+            num_steps=int(os.environ.get("OP_STEPS", 30)), res=res,
+            batch=batch, dtype=dtype)
+        log(f"qscales ready ({len(qscales[0])} stages)")
+    precond = wrap_precond(model, model_args, "linear", qscales=qscales)
     log(f"model loaded in {time.time() - t0:.1f}s")
 
     if mode == "fwd":
