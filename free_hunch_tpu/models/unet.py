@@ -120,10 +120,17 @@ _QUANT_MODES = {"int8": "dynamic", "int8_static": "static",
 
 def _conv(features, kernel=3, stride=1, dtype=jnp.bfloat16, name=None,
           zero_init=False, quant=None):
-    if quant in _QUANT_MODES and stride == 1:
+    import os as _os
+    quant_1x1 = _os.environ.get("FREE_HUNCH_QUANT_1X1", "1") == "1"
+    if quant in _QUANT_MODES and stride == 1 and (kernel > 1 or quant_1x1):
         # int8 MXU path; same param names/shapes (kernel HWIO, bias) so
         # checkpoint conversion is untouched. Stride-2 convs (only present
         # when resblock_updown=False) fall through to the bf16 conv.
+        # Hardware-A/B'd NON-WIN, so the next reader doesn't re-try it:
+        # running the HBM-bound 1x1 skip projections in bf16
+        # (FREE_HUNCH_QUANT_1X1=0) to skip their quantize/dequant passes
+        # LOSES — fwd+vjp 241.9 -> 244.6 ms/call on v5e (skip convs 9.7 ->
+        # 13.8 ms: halving the operand bytes to s8 beats saving the passes).
         from free_hunch_tpu.ops.quant import QuantConv
         return QuantConv(features, kernel, zero_init=zero_init, dtype=dtype,
                          mode=_QUANT_MODES[quant], name=name)

@@ -54,6 +54,8 @@ def main():
     batch = int(os.environ.get("QAB_BATCH", 4))
     steps = int(os.environ.get("QAB_STEPS", 30))
 
+    quant = os.environ.get("QAB_QUANT", "int8")  # int8 | int8_static
+
     model_b, params, margs = load_model(
         "models/256x256_diffusion_uncond.pt",
         "models/256x256_diffusion_uncond_setup.txt",
@@ -62,9 +64,16 @@ def main():
         "models/256x256_diffusion_uncond.pt",
         "models/256x256_diffusion_uncond_setup.txt",
         dtype=jnp.bfloat16, init_random_if_missing=True, remat=False,
-        quant="int8")
+        quant=quant)
+    qscales = None
+    if quant == "int8_static":
+        from free_hunch_tpu.models.calibrate import bench_qscales
+        qscales = bench_qscales(
+            "models/256x256_diffusion_uncond.pt", margs, params,
+            num_steps=steps, res=res, batch=8, dtype=jnp.bfloat16)
+        log(f"qscales ready ({len(qscales[0])} stages)")
     pre_b = wrap_precond(model_b, margs, "linear")
-    pre_q = wrap_precond(model_q, margs, "linear")
+    pre_q = wrap_precond(model_q, margs, "linear", qscales=qscales)
 
     xs, sigma0_scaled = prepare_schedule(
         round_sigma=pre_b.round_sigma, net_sigma_min=pre_b.sigma_min,
@@ -131,6 +140,8 @@ def main():
 
     e2e = {}
     for name, pre in (("bf16", pre_b), ("int8", pre_q)):
+        # 'int8' labels the quantized side regardless of QAB_QUANT mode;
+        # the protocol block records which mode ran
         m = mech()
 
         @jax.jit
@@ -157,10 +168,10 @@ def main():
 
     out_path = os.environ.get("QAB_OUT", "docs/bench/int8_quality_ab.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    result = dict(protocol=dict(res=res, batch=batch, steps=steps,
+    result = dict(protocol=dict(res=res, batch=batch, steps=steps, quant=quant,
                                 weights="random-init flagship (zero egress)",
                                 note="teacher-forced per-call + free-running "
-                                     "relative comparison, int8 vs bf16"),
+                                     "relative comparison, quantized vs bf16"),
                   per_call=rows, per_call_summary=summary, e2e=e2e)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
