@@ -246,27 +246,32 @@ class Evaluator:
                              "ddnm driver; use quant='int8' there")
         num_steps = int(np.asarray(self.xs["sigma_hat"]).shape[0])
         margin = float(opts.get("qscale_margin", 1.0))
+        n_draws = int(opts.get("qscale_calib_draws", 3))
         ckpt = opts.get("openai_state_dict_path") or "qscales"
         cache = cal.qscales_cache_key(ckpt, self._model_args, num_steps,
-                                      self.res, margin)
+                                      self.res, margin) \
+            + (f".d{n_draws}" if n_draws != 1 else "")
         qs = cal.load_qscales(cache)
         if qs is None:
-            logger.info("calibrating int8_static activation scales "
-                        "(one dynamic-int8 sampler replay)...")
-            key = jax.random.fold_in(self.key, 3)
+            logger.info(f"calibrating int8_static activation scales "
+                        f"({n_draws} dynamic-int8 sampler replays)...")
+            op = self._template_op
             b = self.batch_size
             shape = (b, 3, self.res, self.res)
-            cond = jax.random.uniform(jax.random.fold_in(key, 0), shape,
-                                      minval=-1, maxval=1)
-            op = self._template_op
-            y = jax.jit(lambda c, k: op.forward(c, noiseless=False, key=k))(
-                cond, jax.random.fold_in(key, 1))
-            noise = jax.random.normal(jax.random.fold_in(key, 2), shape)
-            qs = cal.calibrate_qscales(
-                self._model_args, self.params, self._mech_builder(op),
-                noise, y, self.xs, self.sigma0_scaled,
-                jax.random.fold_in(key, 4), dtype=self.model.cfg.dtype,
-                margin=margin, precond_kind=self._precond_kind)
+            for d in range(n_draws):
+                key = jax.random.fold_in(jax.random.fold_in(self.key, 3), d)
+                cond = jax.random.uniform(jax.random.fold_in(key, 0), shape,
+                                          minval=-1, maxval=1)
+                y = jax.jit(lambda c, k: op.forward(c, noiseless=False,
+                                                    key=k))(
+                    cond, jax.random.fold_in(key, 1))
+                noise = jax.random.normal(jax.random.fold_in(key, 2), shape)
+                t = cal.calibrate_qscales(
+                    self._model_args, self.params, self._mech_builder(op),
+                    noise, y, self.xs, self.sigma0_scaled,
+                    jax.random.fold_in(key, 4), dtype=self.model.cfg.dtype,
+                    margin=margin, precond_kind=self._precond_kind)
+                qs = t if qs is None else cal.merge_qscales(qs, t)
             try:
                 cal.save_qscales(cache, *qs)
             except OSError:

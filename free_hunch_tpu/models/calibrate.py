@@ -207,16 +207,30 @@ def qscales_cache_key(state_dict_path: str, model_args: dict, num_steps: int,
     return f"{state_dict_path}.qscales.{arch}.s{num_steps}.r{res}.m{m}.npz"
 
 
+def merge_qscales(a, b):
+    """Combine two calibration tables site-wise by MAX (scales are
+    monotone in the observed abs-max)."""
+    (sa, ta), (sb, tb) = a, b
+    assert np.allclose(sa, sb), "tables calibrated on different sigma grids"
+    return sa, jax.tree.map(jnp.maximum, ta, tb)
+
+
 def bench_qscales(state_dict_path: str, model_args: dict, params, *,
                   num_steps: int, res: int, batch: int = 8,
                   dtype=jnp.bfloat16, margin: float = 1.0,
-                  precond_kind: str = "linear"):
+                  precond_kind: str = "linear", n_draws: int = 3):
     """Calibration table for the benchmark/profiling protocol (bench.py /
     scripts/op_profile.py): gaussian-blur operator + online-covariance
     mechanism with the covariance guidance gradient (the trajectory's
     activation statistics, which is all calibration needs, are
     gradient-mode-independent — the cheap mode keeps the one-time replay
-    short). Cached next to the checkpoint."""
+    short). Cached next to the checkpoint.
+
+    n_draws independent (cond, noise) draws are max-merged: clipping is a
+    BIASED error (systematically damped features), so under-covered
+    calibration shows up directly as end-to-end quality loss — wider
+    coverage of the per-site abs-max tails matters more than a blind
+    margin (docs/bench/int8_quality_ab_static.json history)."""
     from free_hunch_tpu.guidance import choose_conditioning_mechanism
     from free_hunch_tpu.models.loading import wrap_precond
     from free_hunch_tpu.operators import get_operator
@@ -224,7 +238,7 @@ def bench_qscales(state_dict_path: str, model_args: dict, params, *,
                                              required_cov_capacity)
 
     cache = qscales_cache_key(state_dict_path, model_args, num_steps, res,
-                              margin)
+                              margin) + (f".d{n_draws}" if n_draws != 1 else "")
     qs = load_qscales(cache)
     if qs is not None:
         return qs
@@ -243,15 +257,19 @@ def bench_qscales(state_dict_path: str, model_args: dict, params, *,
         cov_capacity=required_cov_capacity(xs), solver_type="customcuda",
         guidance_gradient="covariance")
     key = jax.random.PRNGKey(17)
-    cond = jax.random.uniform(jax.random.fold_in(key, 0),
-                              (batch, 3, res, res), minval=-1, maxval=1)
-    y = jax.jit(lambda c, k: op.forward(c, noiseless=False, key=k))(
-        cond, jax.random.fold_in(key, 1))
-    noise = jax.random.normal(jax.random.fold_in(key, 2),
-                              (batch, 3, res, res))
-    qs = calibrate_qscales(model_args, params, mech, noise, y, xs, s0,
-                           jax.random.fold_in(key, 3), dtype=dtype,
-                           margin=margin, precond_kind=precond_kind)
+    qs = None
+    for d in range(n_draws):
+        kd = jax.random.fold_in(key, 100 + d)
+        cond = jax.random.uniform(jax.random.fold_in(kd, 0),
+                                  (batch, 3, res, res), minval=-1, maxval=1)
+        y = jax.jit(lambda c, k: op.forward(c, noiseless=False, key=k))(
+            cond, jax.random.fold_in(kd, 1))
+        noise = jax.random.normal(jax.random.fold_in(kd, 2),
+                                  (batch, 3, res, res))
+        t = calibrate_qscales(model_args, params, mech, noise, y, xs, s0,
+                              jax.random.fold_in(kd, 3), dtype=dtype,
+                              margin=margin, precond_kind=precond_kind)
+        qs = t if qs is None else merge_qscales(qs, t)
     try:
         save_qscales(cache, *qs)
     except OSError:

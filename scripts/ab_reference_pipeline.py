@@ -741,6 +741,16 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
     torch_cg.cg = counting_cg
     ours_cg_niters = []
 
+    # OUR side runs under ONE jit (sigma traced — the mechanism is
+    # scan-compatible by design, mechanisms.py). Eager per-op dispatch
+    # compiles thousands of tiny LLVM CPU kernels across the 59 calls, and
+    # with the hybrid gradient's lax.cond both branches' kernels exist —
+    # measured to exhaust the process mmap budget (vm.max_map_count) around
+    # call 46: LLVM 'Cannot allocate memory' then SIGSEGV.
+    _jitted_update = jax.jit(
+        lambda x_in, yy, s, st: mine.x0_mean_update(denoise, x_in, yy, s, st))
+    _jitted_probe = jax.jit(lambda cov: mine.cov_matvec_pixel(cov, probe))
+
     def compare_call(x_in, sigma, state):
         # the driving trajectory is always f32 (both UNets are f32 nets; in
         # x64 mode the Heun arithmetic below would otherwise promote)
@@ -781,8 +791,8 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
             x0m_cur, _ = denoise(x_in, jnp.asarray(float(sigma), jnp.float32))
             shadow_step(np.asarray(x_in), float(sigma), np.asarray(x0m_cur))
 
-        out_j, state = mine.x0_mean_update(denoise, x_in, jnp.asarray(y),
-                                           float(sigma), state)
+        out_j, state = _jitted_update(x_in, jnp.asarray(y),
+                                      jnp.float32(float(sigma)), state)
         xt = torch.from_numpy(np.asarray(x_in)).requires_grad_()
         with torch.enable_grad():
             out_t = ref.x0_mean_update(xt, tpre, y_t, torch.tensor(float(sigma)))
@@ -793,7 +803,7 @@ def _run_teacher_inner(res, channels, num_res_blocks, steps, seed, basis,
         # pins the paper's core (time/space updates + prior) independent of
         # loose-CG iterate path-dependence — the mat solve itself is plain
         # linear algebra once Sigma_0 agrees.
-        got = np.asarray(mine.cov_matvec_pixel(state.cov, probe))
+        got = np.asarray(_jitted_probe(state.cov))
         want = ref.covariance_model.denoiser_cov_vector_dot(
             torch.from_numpy(np.asarray(probe))).detach().numpy()
         crel = float(np.abs(got - want).max() / max(np.abs(want).max(), 1e-12))

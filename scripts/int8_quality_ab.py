@@ -68,10 +68,12 @@ def main():
     qscales = None
     if quant == "int8_static":
         from free_hunch_tpu.models.calibrate import bench_qscales
+        margin = float(os.environ.get("QAB_MARGIN", 1.0))
         qscales = bench_qscales(
             "models/256x256_diffusion_uncond.pt", margs, params,
-            num_steps=steps, res=res, batch=8, dtype=jnp.bfloat16)
-        log(f"qscales ready ({len(qscales[0])} stages)")
+            num_steps=steps, res=res, batch=8, dtype=jnp.bfloat16,
+            margin=margin)
+        log(f"qscales ready ({len(qscales[0])} stages, margin={margin})")
     pre_b = wrap_precond(model_b, margs, "linear")
     pre_q = wrap_precond(model_q, margs, "linear", qscales=qscales)
 
@@ -97,6 +99,8 @@ def main():
 
     key = jax.random.PRNGKey(0)
     sig_grid = np.asarray(xs["sigma_hat"], np.float64)
+    if os.environ.get("QAB_SKIP_TEACHER") == "1":
+        sig_grid = sig_grid[:0]  # e2e-only sweep runs
     rows = []
     for i, sig in enumerate(sig_grid):
         # teacher input: a plausible x_t at this sigma (prior draw * sigma)
@@ -114,7 +118,7 @@ def main():
     summary = {k: dict(
         max=max(r[k] for r in rows),
         median=float(np.median([r[k] for r in rows])))
-        for k in ("mean_rel", "var_rel", "pullback_rel")}
+        for k in ("mean_rel", "var_rel", "pullback_rel")} if rows else {}
     log(f"teacher summary: {summary}")
 
     # --- free-running tier -------------------------------------------------
