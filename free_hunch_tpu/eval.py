@@ -245,7 +245,7 @@ class Evaluator:
             raise ValueError("quant='int8_static' is not supported for the "
                              "ddnm driver; use quant='int8' there")
         num_steps = int(np.asarray(self.xs["sigma_hat"]).shape[0])
-        margin = float(opts.get("qscale_margin", 1.0))
+        margin = float(opts.get("qscale_margin", 1.1))
         n_draws = int(opts.get("qscale_calib_draws", 3))
         ckpt = opts.get("openai_state_dict_path") or "qscales"
         cache = cal.qscales_cache_key(ckpt, self._model_args, num_steps,

@@ -7,6 +7,10 @@ import sys
 
 import pytest
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(

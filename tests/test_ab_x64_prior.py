@@ -24,6 +24,10 @@ import sys
 
 import pytest
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 pytest.importorskip("torch")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -6,6 +6,12 @@ import numpy as np
 from free_hunch_tpu.samplers.ddnm import (ddnm_conditional_sampler,
                                           ddnm_schedule, get_schedule_jump)
 
+import pytest
+
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 RES = 32
 
 

@@ -10,6 +10,10 @@ import pytest
 
 from free_hunch_tpu.config import get_job_name_params, load_config
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 DATA = "/root/reference/data/imagenet/00000"
 SETUP32 = None
 

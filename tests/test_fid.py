@@ -18,6 +18,10 @@ import pytest
 
 from free_hunch_tpu.metrics import fid
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def test_frechet_distance_closed_form():
     rng = np.random.default_rng(0)

@@ -10,6 +10,10 @@ import os
 
 import pytest
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 pytest.importorskip("torch")
 
 

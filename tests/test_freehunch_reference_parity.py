@@ -28,6 +28,10 @@ install_reference_stubs()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 RES = 32
 D = 3 * RES * RES
 

@@ -6,6 +6,11 @@ import numpy as np
 
 from free_hunch_tpu.analysis import gmm as G
 from free_hunch_tpu.analysis.gmm_guided import sample_gmm_posterior
+import pytest
+
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def test_freehunch_guided_gmm_posterior_moments():

@@ -18,6 +18,10 @@ import torch.nn as nn  # noqa: E402
 
 from free_hunch_tpu.metrics import lpips_jax  # noqa: E402
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 # torchvision vgg16 `features` layout: (seq_idx, in_ch, out_ch) of each conv
 _CFG = [(0, 3, 64), (2, 64, 64), (5, 64, 128), (7, 128, 128),
         (10, 128, 256), (12, 256, 256), (14, 256, 256),

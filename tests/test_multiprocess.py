@@ -14,6 +14,10 @@ import sys
 
 import pytest
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "_mp_worker.py")
 _EVAL_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -93,6 +93,7 @@ class TestInt8Dense:
         assert rel_err(vjp_q(g)[0], vjp_f(g)[0]) < 0.015
 
 
+@pytest.mark.slow
 class TestModuleCompat:
     def test_param_tree_matches_bf16_conv(self):
         """QuantConv/QuantDense must expose the exact ('kernel', 'bias')
@@ -145,6 +146,7 @@ class TestModuleCompat:
         assert eg < 0.15, f"quant pullback error {eg}"
 
 
+@pytest.mark.slow
 class TestPrecondContract:
     def test_x0_var_preserved(self):
         """wrap_precond over a quantized UNet still returns the 2-tuple
@@ -220,6 +222,7 @@ class TestStaticScales:
         assert rel_err(dx, vjp_f(g)[0]) < 0.02
         assert float(jnp.abs(ds)) == 0.0  # scale carries no gradient
 
+    @pytest.mark.slow
     def test_calibrated_model_tracks_dynamic(self, tmp_path):
         """End-to-end: calibrate on the production sampler replay, then the
         static model must match the dynamic model per call and over a full

@@ -14,6 +14,10 @@ from free_hunch_tpu.models.unet import UNetConfig, UNetModel
 from free_hunch_tpu.operators import get_operator
 from free_hunch_tpu.samplers import conditional_sampler
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 RES = 32
 BATCH = 2
 

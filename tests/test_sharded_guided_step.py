@@ -24,6 +24,10 @@ from free_hunch_tpu.operators import get_operator
 from free_hunch_tpu.parallel.mesh import make_mesh
 from free_hunch_tpu.samplers.edm import prepare_schedule, sample_scan
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 RES = 32
 BATCH = 4

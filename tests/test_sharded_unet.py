@@ -25,6 +25,10 @@ from free_hunch_tpu.models.precond import IDDPMLinearPrecond
 from free_hunch_tpu.models.unet import UNetConfig, UNetModel
 from free_hunch_tpu.parallel.mesh import make_mesh
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 RES = 32
 BATCH = 4
 

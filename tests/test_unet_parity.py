@@ -20,6 +20,10 @@ import jax.numpy as jnp  # noqa: E402
 from free_hunch_tpu.models.convert import convert_state_dict  # noqa: E402
 from free_hunch_tpu.models.unet import UNetConfig, UNetModel  # noqa: E402
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _build_pair(use_new_attention_order=False, resblock_updown=True,
                 use_scale_shift_norm=True, num_head_channels=16, num_classes=None):

@@ -22,6 +22,10 @@ from free_hunch_tpu.data.encoders import StabilityVAEEncoder
 from free_hunch_tpu.models.vae import (AutoencoderKL, VAEConfig,
                                        params_from_torch_state_dict)
 
+# heavyweight tier: torch oracles / e2e CLI / multi-process / full-model
+# forwards — excluded from the <5 min fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 F = torch.nn.functional
 
