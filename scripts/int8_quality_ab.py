@@ -101,11 +101,50 @@ def main():
     sig_grid = np.asarray(xs["sigma_hat"], np.float64)
     if os.environ.get("QAB_SKIP_TEACHER") == "1":
         sig_grid = sig_grid[:0]  # e2e-only sweep runs
+
+    # Teacher states are REAL trajectory states from a bf16 guided replay —
+    # static activation scales are calibrated for the trajectory
+    # distribution, so probing with off-distribution noise-scaled inputs
+    # (the pre-round-5 protocol) measures a quantization-grid mismatch that
+    # production never sees. Gathering stays under jit (remote-backend eager
+    # dispatch + tunnel-transfer rules, models/calibrate.py).
+    traj = None
+    if len(sig_grid):
+        from free_hunch_tpu.guidance import choose_conditioning_mechanism
+        from free_hunch_tpu.operators import get_operator
+        t_op = get_operator(name="gaussian_blur", in_shape=(1, 3, res, res),
+                            sigma_s=0.1, kernel_size=61, intensity=3.0)
+        t_mech = choose_conditioning_mechanism("online_covariance")(
+            cond_scaling=1.0, forward_operator=t_op, clip_x0_mean=False,
+            image_base_covariance="dct_diagonal", init_denoiser_variance=1.0,
+            init_noise_variance=80.0**2, data_dim=3 * res * res,
+            cov_capacity=required_cov_capacity(xs),
+            solver_type="customcuda", guidance_gradient="covariance")
+        t_cond = jax.random.uniform(jax.random.fold_in(key, 200),
+                                    (batch, 3, res, res), minval=-1, maxval=1)
+        t_y = jax.jit(lambda c, k: t_op.forward(c, noiseless=False, key=k))(
+            t_cond, jax.random.fold_in(key, 201))
+        t_noise = jax.random.normal(jax.random.fold_in(key, 202),
+                                    (batch, 3, res, res))
+        _, traj = jax.jit(lambda p, n, yy, k: sample_scan(
+            lambda x, s: pre_b.apply(p, x, s), t_mech, n, yy, xs, k,
+            sigma0_scaled=sigma0_scaled, return_trajectory=True))(
+                params, t_noise, t_y, jax.random.fold_in(key, 203))
+        scale_ratio = np.asarray(xs["scale_ratio"], np.float64)
+
+        @jax.jit
+        def gather(traj_, n_, j, ratio):
+            x0_ = n_.astype(jnp.float32) * sigma0_scaled
+            prev = jnp.where(
+                j == 0, x0_,
+                jax.lax.dynamic_index_in_dim(traj_, jnp.maximum(j - 1, 0), 0,
+                                             keepdims=False))
+            return ratio * prev
+
     rows = []
     for i, sig in enumerate(sig_grid):
-        # teacher input: a plausible x_t at this sigma (prior draw * sigma)
-        x = (jax.random.normal(jax.random.fold_in(key, i),
-                               (batch, 3, res, res)) * float(sig))
+        x = gather(traj, t_noise, jnp.asarray(i, jnp.int32),
+                   jnp.float32(scale_ratio[i]))
         s = jnp.full((batch,), float(sig), jnp.float32)
         mb, vb, gb = f_b(params, x, s)
         mq, vq, gq = f_q(params, x, s)
