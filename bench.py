@@ -83,7 +83,11 @@ def run_config(*, grad, quant, batch, num_steps, res, iters, donate=False):
     log(f"cov_capacity={cov_k}")
     mech = choose_conditioning_mechanism("online_covariance")(
         cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
-        image_base_covariance="dct_diagonal",
+        # the shipped DCT prior is (3, 256, 256); other resolutions use the
+        # uninformative DCT prior (same basis, flat variances) — the 512px
+        # capability run (the reference caps at 1024 attention tokens)
+        image_base_covariance=("dct_diagonal" if res == 256
+                               else "dct_diagonal_noinfo"),
         init_denoiser_variance=1.0, init_noise_variance=80.0**2,
         data_dim=3 * res * res, cov_capacity=cov_k,
         solver_type="customcuda",

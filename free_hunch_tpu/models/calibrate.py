@@ -253,7 +253,9 @@ def bench_qscales(state_dict_path: str, model_args: dict, params, *,
         discretization="edm", schedule="linear", scaling="none")
     mech = choose_conditioning_mechanism("online_covariance")(
         cond_scaling=1.0, forward_operator=op, clip_x0_mean=False,
-        image_base_covariance="dct_diagonal", init_denoiser_variance=1.0,
+        image_base_covariance=("dct_diagonal" if res == 256
+                               else "dct_diagonal_noinfo"),
+        init_denoiser_variance=1.0,
         init_noise_variance=80.0**2, data_dim=3 * res * res,
         cov_capacity=required_cov_capacity(xs), solver_type="customcuda",
         guidance_gradient="covariance")
